@@ -1,0 +1,198 @@
+"""Stereo triangulation: optimal epipolar correction + batched DLT.
+
+The reference stereo path (perception/utils/camera_utils.py:92-110) chains
+three OpenCV host calls per frame:
+
+    cv2.fisheye.undistortPoints -> cv2.correctMatches -> cv2.triangulatePoints
+
+This module rebuilds all three as pure jax functions so the full 2D->3D lift
+runs inside one XLA program, vmapped over points:
+
+- ``correct_matches`` implements the Hartley–Sturm optimal two-view
+  correction (H&Z Algorithm 12.1). Instead of extracting the real roots of
+  the degree-6 polynomial g(t) via a companion-matrix eigensolve (not
+  available for nonsymmetric matrices on TPU), the geometric cost s(t) is
+  minimized directly: a dense tan-parametrized grid bracket followed by a
+  fixed Newton polish. s(t) has at most three local minima, so a 257-point
+  grid + Newton reaches the global optimum to machine precision.
+- ``triangulate_linear`` is the DLT: the 4x4 normal matrix A^T A per point,
+  smallest eigenvector via ``jnp.linalg.eigh`` (batched, TPU-supported).
+
+Parity vs the cv2 chain is gated in tests/test_geometry.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_GRID_SIZE = 257
+_NEWTON_STEPS = 25
+
+
+def _null_vectors(F):
+    """Right and left null vectors of a (nearly) rank-2 3x3 matrix."""
+    u, _, vt = jnp.linalg.svd(F)
+    e_right = vt[-1]  # F e = 0
+    e_left = u[:, -1]  # e'^T F = 0
+    return e_right, e_left
+
+
+def _correct_single(F, x_l, x_r):
+    """Hartley–Sturm correction of one correspondence.
+
+    F: 3x3 fundamental matrix with x_r^T F x_l = 0 convention.
+    x_l, x_r: (2,) pixel coordinates. Returns corrected ((2,), (2,)).
+    """
+    dtype = F.dtype
+    # 1. translate both points to the origin: T^-1 maps origin -> x.
+    Tl_inv = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=dtype
+    ).at[:2, 2].set(x_l)
+    Tr_inv = jnp.eye(3, dtype=dtype).at[:2, 2].set(x_r)
+    # F1 = Tr^-T F Tl^-1
+    F1 = jnp.linalg.multi_dot([Tr_inv.T, F, Tl_inv], precision="highest")
+
+    # 2. epipoles, normalized so e1^2 + e2^2 = 1.
+    e_l, e_r = _null_vectors(F1)
+    e_l = e_l / jnp.sqrt(e_l[0] ** 2 + e_l[1] ** 2)
+    e_r = e_r / jnp.sqrt(e_r[0] ** 2 + e_r[1] ** 2)
+
+    # 3. rotations putting the epipoles on the x-axis.
+    R_l = jnp.array(
+        [[e_l[0], e_l[1], 0.0], [-e_l[1], e_l[0], 0.0], [0.0, 0.0, 1.0]], dtype=dtype
+    )
+    R_r = jnp.array(
+        [[e_r[0], e_r[1], 0.0], [-e_r[1], e_r[0], 0.0], [0.0, 0.0, 1.0]], dtype=dtype
+    )
+    F2 = jnp.linalg.multi_dot([R_r, F1, R_l.T], precision="highest")
+
+    f = e_l[2]
+    fp = e_r[2]
+    a, b = F2[1, 1], F2[1, 2]
+    c, d = F2[2, 1], F2[2, 2]
+
+    def cost(t):
+        num_l = t * t / (1.0 + f * f * t * t)
+        denom = (a * t + b) ** 2 + fp * fp * (c * t + d) ** 2
+        num_r = (c * t + d) ** 2 / denom
+        return num_l + num_r
+
+    # 4. global bracket on t = tan(phi).
+    phi = jnp.linspace(-jnp.pi / 2 * 0.9999, jnp.pi / 2 * 0.9999, _GRID_SIZE, dtype=dtype)
+    ts = jnp.tan(phi)
+    costs = cost(ts)
+    t0 = ts[jnp.argmin(costs)]
+
+    # 5. Newton polish of s'(t) = 0.
+    ds = jax.grad(cost)
+    d2s = jax.grad(ds)
+
+    def newton(t, _):
+        g = ds(t)
+        h = d2s(t)
+        step = jnp.where(jnp.abs(h) > 1e-20, g / h, 0.0)
+        t_new = t - jnp.clip(step, -1e3, 1e3)
+        t_new = jnp.where(jnp.isfinite(t_new) & (cost(t_new) <= cost(t)), t_new, t)
+        return t_new, None
+
+    t_star, _ = jax.lax.scan(newton, t0, None, length=_NEWTON_STEPS)
+
+    # asymptotic candidate t = inf
+    cost_inf = 1.0 / (f * f) + c * c / (a * a + fp * fp * c * c)
+    use_inf = cost_inf < cost(t_star)
+
+    # 6. epipolar lines at the optimum.
+    l_l = jnp.where(
+        use_inf,
+        jnp.array([f, 0.0, -1.0], dtype=dtype),
+        jnp.stack([t_star * f, jnp.asarray(1.0, dtype), -t_star]),
+    )
+    l_r = jnp.where(
+        use_inf,
+        jnp.stack([-fp * c, a, c]),
+        jnp.stack([-fp * (c * t_star + d), a * t_star + b, c * t_star + d]),
+    )
+
+    def closest_to_origin(l):
+        lam, mu, nu = l[0], l[1], l[2]
+        return jnp.stack([-lam * nu, -mu * nu, lam * lam + mu * mu])
+
+    xh_l = closest_to_origin(l_l)
+    xh_r = closest_to_origin(l_r)
+
+    # 7. undo rotation + translation.
+    x_l_new = jnp.matmul(Tl_inv, jnp.matmul(R_l.T, xh_l, precision="highest"), precision="highest")
+    x_r_new = jnp.matmul(Tr_inv, jnp.matmul(R_r.T, xh_r, precision="highest"), precision="highest")
+    return x_l_new[:2] / x_l_new[2], x_r_new[:2] / x_r_new[2]
+
+
+def correct_matches(F, points_l, points_r):
+    """Optimal epipolar correction of N correspondences.
+
+    Device equivalent of cv2.correctMatches (used at reference
+    camera_utils.py:100). points_l/r: (N, 2). Returns corrected (N, 2) pairs.
+    """
+    return jax.vmap(lambda xl, xr: _correct_single(F, xl, xr))(points_l, points_r)
+
+
+def triangulate_linear(P1, P2, points_l, points_r):
+    """Batched DLT triangulation (cv2.triangulatePoints equivalent,
+    reference camera_utils.py:104-107).
+
+    P1, P2: (3, 4) projection matrices; points: (N, 2) pixels.
+    Returns (N, 3) dehomogenized points in the frame of P1.
+    """
+
+    def one(xl, xr):
+        rows = jnp.stack(
+            [
+                xl[0] * P1[2] - P1[0],
+                xl[1] * P1[2] - P1[1],
+                xr[0] * P2[2] - P2[0],
+                xr[1] * P2[2] - P2[1],
+            ]
+        )
+        # row-normalize for conditioning, then smallest eigenvector of A^T A.
+        rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        _, vecs = jnp.linalg.eigh(jnp.matmul(rows.T, rows, precision="highest"))
+        X = vecs[:, 0]
+        return X[:3] / X[3]
+
+    return jax.vmap(one)(points_l, points_r)
+
+
+def triangulate_pixels(points_l, points_r, K, D, Kp, Dp, T_RL, F, correct=True):
+    """Full stereo lift: undistort -> (optional) correct -> DLT.
+
+    Mirrors StereoCamera.triangulate (reference camera_utils.py:92-110):
+    both views are undistorted with P=K / P=Kp, optimally corrected against
+    F, and triangulated with P1 = K [I|0], P2 = Kp T_RL[:3]. Returns points
+    in the *left camera* frame, (N, 3).
+    """
+    from object_keypoints_tpu.geometry import cameras
+
+    und_l = cameras.fisheye_undistort_points(points_l, K, D, P=K)
+    und_r = cameras.fisheye_undistort_points(points_r, Kp, Dp, P=Kp)
+    if correct:
+        und_l, und_r = correct_matches(F, und_l, und_r)
+    P1 = jnp.matmul(K, jnp.eye(3, 4, dtype=K.dtype), precision="highest")
+    P2 = jnp.matmul(Kp, T_RL[:3], precision="highest")
+    return triangulate_linear(P1, P2, und_l, und_r)
+
+
+def epipolar_distances(F, points_l, points_r):
+    """Distance of each right point to the epipolar line of each left point.
+
+    Returns an (L, R) matrix of point-line distances in pixels. Used by the
+    stereo AssociationComponent (restores the API documented by the
+    reference's stale tests, test/test_pipeline.py:208-261).
+    """
+    ones_l = jnp.ones_like(points_l[..., :1])
+    xl = jnp.concatenate([points_l, ones_l], axis=-1)  # (L, 3)
+    lines = jnp.matmul(xl, F.T, precision="highest")  # (L, 3): l_R = F @ x_L
+    norm = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)  # (L,)
+    ones_r = jnp.ones_like(points_r[..., :1])
+    xr = jnp.concatenate([points_r, ones_r], axis=-1)  # (R, 3)
+    signed = jnp.matmul(lines, xr.T, precision="highest")  # (L, R)
+    return jnp.abs(signed) / jnp.maximum(norm[:, None], 1e-12)
