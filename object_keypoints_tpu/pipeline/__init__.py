@@ -1,0 +1,32 @@
+"""Inference pipeline (reference: perception/pipeline.py + restored stereo
+components from the reference's test API)."""
+
+from object_keypoints_tpu.pipeline.components import (
+    InferenceComponent,
+    KeypointExtractionComponent,
+    ObjectExtraction,
+    DetectionToPoint,
+    TriangulationComponent,
+    AssociationComponent,
+    ObjectKeypointPipeline,
+    LearnedKeypointTrackingPipeline,
+)
+from object_keypoints_tpu.pipeline.decode_jit import (
+    CameraArrays,
+    DecodedObjects,
+    decode_objects,
+)
+
+__all__ = [
+    "InferenceComponent",
+    "KeypointExtractionComponent",
+    "ObjectExtraction",
+    "DetectionToPoint",
+    "TriangulationComponent",
+    "AssociationComponent",
+    "ObjectKeypointPipeline",
+    "LearnedKeypointTrackingPipeline",
+    "CameraArrays",
+    "DecodedObjects",
+    "decode_objects",
+]
