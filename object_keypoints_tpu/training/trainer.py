@@ -1,0 +1,161 @@
+"""Train state + sharded train/eval steps.
+
+Rebuild of the reference training loop's compute core
+(scripts/train.py:45-117 KeypointModule): AdamW + ReduceLROnPlateau
+monitoring train loss (train.py:95-104), per-stack loss logging
+(train.py:61-91), validation metric = L1 between sigmoid(last-stack
+heatmap) and target (train.py:106-110).
+
+TPU-first: one jitted ``train_step`` with mesh shardings (batch over
+``data``); gradient reduction and cross-replica batch-norm statistics come
+out of XLA's global-view autodiff — no DDP/SyncBN machinery. bf16 compute
+is a model-dtype flag; the loss always accumulates in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from object_keypoints_tpu.training.losses import keypoint_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @property
+    def lr_scale(self):
+        """Current plateau-schedule LR multiplier (for logging)."""
+        try:
+            return self.opt_state[-1].scale
+        except (AttributeError, IndexError, TypeError):
+            return jnp.asarray(1.0)
+
+
+def make_optimizer(
+    lr: float = 4e-3,
+    weight_decay: float = 0.01,
+    plateau_factor: float = 0.1,
+    plateau_patience: int = 10,
+    plateau_accumulation: int = 1,
+    grad_clip: Optional[float] = None,
+):
+    """AdamW + reduce-on-plateau, the reference's recipe
+    (scripts/train.py:95-104; defaults from train.py:22-31).
+
+    The plateau transform consumes the loss via ``value=`` at update time;
+    ``plateau_accumulation`` averages that many steps before comparing
+    (the reference steps its scheduler once per epoch on train_loss).
+    """
+    parts = []
+    if grad_clip:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(optax.adamw(lr, weight_decay=weight_decay))
+    parts.append(
+        optax.contrib.reduce_on_plateau(
+            factor=plateau_factor,
+            patience=plateau_patience,
+            accumulation_size=plateau_accumulation,
+        )
+    )
+    return optax.chain(*parts)
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def loss_and_metrics(model, params, batch_stats, batch, train: bool,
+                     dropout_rng=None, depth_weight: float = 10.0,
+                     center_weight: float = 1.0):
+    """Forward + reference loss. batch: dict(frame, heatmaps, depth, centers)
+    in NHWC (heatmaps/depth (N,H,W,K), centers (N,H,W,T,2))."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        outs, new_state = model.apply(
+            variables, batch["frame"], train=True,
+            rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+        )
+        new_batch_stats = new_state["batch_stats"]
+    else:
+        outs = model.apply(variables, batch["frame"], train=False)
+        new_batch_stats = batch_stats
+
+    heatmaps = [h.astype(jnp.float32) for h in outs.heatmaps]
+    depth = [d.astype(jnp.float32) for d in outs.depth]
+    centers = [c.astype(jnp.float32) for c in outs.centers]
+
+    total, hm_losses, d_losses, c_losses = keypoint_loss(
+        heatmaps, batch["heatmaps"], depth, batch["depth"], centers,
+        batch["centers"], depth_weight=depth_weight, center_weight=center_weight,
+    )
+    metrics = {"loss": total}
+    for i, (h, d, c) in enumerate(zip(hm_losses, d_losses, c_losses)):
+        metrics[f"heatmap_loss{i + 1}"] = h
+        metrics[f"depth_loss{i + 1}"] = d
+        metrics[f"center_loss{i + 1}"] = c
+    return total, (new_batch_stats, metrics, outs)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "depth_weight", "center_weight"),
+                   donate_argnames=("state",))
+def train_step(model, state: TrainState, batch, dropout_rng,
+               depth_weight: float = 10.0, center_weight: float = 1.0):
+    """One optimization step; jit/pjit-able (shardings come from the inputs)."""
+    rng = jax.random.fold_in(dropout_rng, state.step)
+
+    def loss_fn(params):
+        return loss_and_metrics(
+            model, params, state.batch_stats, batch, True, rng,
+            depth_weight, center_weight,
+        )
+
+    (loss, (new_batch_stats, metrics, _)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = state.tx.update(
+        grads, state.opt_state, state.params, value=loss
+    )
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model", "depth_weight", "center_weight"))
+def eval_step(model, state: TrainState, batch,
+              depth_weight: float = 10.0, center_weight: float = 1.0):
+    """Validation step: reference val metrics (scripts/train.py:77-110) —
+    val_loss is the L1 between sigmoid(last-stack heatmap) and target."""
+    _, (_, metrics, outs) = loss_and_metrics(
+        model, state.params, state.batch_stats, batch, False,
+        depth_weight=depth_weight, center_weight=center_weight,
+    )
+    p_heatmap = jax.nn.sigmoid(outs.heatmaps[-1].astype(jnp.float32))
+    val_loss = jnp.mean(jnp.abs(p_heatmap - batch["heatmaps"]))
+    out = {"val_loss": val_loss, "total_heatmap_loss": metrics["loss"]}
+    for k, v in metrics.items():
+        if k != "loss":
+            out["val_" + k] = v
+    return out

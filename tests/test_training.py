@@ -1,0 +1,135 @@
+"""Training tests: single-batch overfit (the reference's OverfittingTest
+notebook semantics — the canonical "does training work" check, SURVEY.md §4)
+plus sharded multi-device training on the virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from object_keypoints_tpu.models import KeypointNet
+from object_keypoints_tpu.parallel import batch_sharding, create_mesh, shard_params
+from object_keypoints_tpu.training.trainer import (
+    create_train_state,
+    eval_step,
+    make_optimizer,
+    train_step,
+)
+
+TINY = dict(
+    levels=2,
+    dims=(16, 16, 32),
+    mods=(1, 1, 1),
+    stem_features=(8, 16),
+    cnv_dim=16,
+    features=8,
+)
+
+
+def _synthetic_batch(rng, n=2, size=32, k=3):
+    """A consistent (frame, targets) batch: gaussian blobs + matching
+    depth/center fields."""
+    h = w = size // 8
+    t = k - 1
+    frame = jax.random.normal(rng, (n, size, size, 3)) * 0.1
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    heat = np.zeros((n, h, w, k), np.float32)
+    for i in range(k):
+        cy, cx = (i + 1) % h, (2 * i + 1) % w
+        heat[..., i] = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / 2.0)[None]
+    depth = np.clip(heat * 1.5, 0, None)
+    centers = np.zeros((n, h, w, t, 2), np.float32)
+    centers[..., 0] = 0.5
+    return {
+        "frame": frame,
+        "heatmaps": jnp.asarray(heat),
+        "depth": jnp.asarray(depth),
+        "centers": jnp.asarray(centers),
+    }
+
+
+class TestOverfit:
+    def test_single_batch_overfit(self):
+        """Loss must drop substantially in 100 steps on one batch
+        (OverfittingTest.ipynb semantics)."""
+        model = KeypointNet(heatmaps_out=3, stacks=2, dropout=0.0, **TINY)
+        batch = _synthetic_batch(jax.random.key(0))
+        variables = model.init({"params": jax.random.key(1)}, batch["frame"], train=False)
+        tx = make_optimizer(lr=1e-3, plateau_patience=1000)
+        state = create_train_state(model, variables, tx)
+
+        rng = jax.random.key(2)
+        first = None
+        for i in range(100):
+            state, metrics = train_step(model, state, batch, rng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < 0.5 * first, (first, last)
+
+    def test_eval_step_metrics(self):
+        model = KeypointNet(heatmaps_out=3, stacks=2, dropout=0.0, **TINY)
+        batch = _synthetic_batch(jax.random.key(0))
+        variables = model.init({"params": jax.random.key(1)}, batch["frame"], train=False)
+        state = create_train_state(model, variables, make_optimizer())
+        metrics = eval_step(model, state, batch)
+        assert "val_loss" in metrics and "total_heatmap_loss" in metrics
+        assert 0.0 <= float(metrics["val_loss"]) <= 1.0  # L1 of sigmoid vs [0,1] target
+
+    def test_plateau_reduces_lr(self):
+        """The plateau transform must cut the LR multiplier when the loss
+        stops improving (reference ReduceLROnPlateau factor=0.1 patience=10,
+        scripts/train.py:95-104)."""
+        model = KeypointNet(heatmaps_out=3, stacks=1, dropout=0.0, **TINY)
+        batch = _synthetic_batch(jax.random.key(0))
+        variables = model.init({"params": jax.random.key(1)}, batch["frame"], train=False)
+        tx = make_optimizer(lr=0.0, plateau_factor=0.1, plateau_patience=2)
+        state = create_train_state(model, variables, tx)
+        rng = jax.random.key(2)
+        for _ in range(8):  # lr=0 -> loss constant -> plateau trips
+            state, _ = train_step(model, state, batch, rng)
+        assert float(state.lr_scale) < 1.0
+
+
+class TestShardedTraining:
+    def test_data_parallel_matches_single_device(self):
+        """One sharded step over the 8-device mesh must equal the
+        single-device step (global-view SPMD correctness)."""
+        assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+        model = KeypointNet(heatmaps_out=3, stacks=1, dropout=0.0, **TINY)
+        batch = _synthetic_batch(jax.random.key(0), n=8)
+        variables = model.init({"params": jax.random.key(1)}, batch["frame"], train=False)
+        tx = make_optimizer(lr=1e-3, plateau_patience=1000)
+
+        # train_step donates its state buffers; keep an unshared copy for
+        # the sharded run before the first step consumes `variables`.
+        variables_copy = jax.tree.map(jnp.copy, variables)
+
+        # single device
+        state_a = create_train_state(model, variables, tx)
+        state_a, metrics_a = train_step(model, state_a, batch, jax.random.key(2))
+
+        # 4x2 mesh: batch over data, wide kernels over model
+        mesh = create_mesh(model_parallel=2)
+        sharded_batch = jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+        )
+        state_b = create_train_state(model, variables_copy, tx)
+        state_b = state_b.replace(params=shard_params(state_b.params, mesh))
+        state_b, metrics_b = train_step(model, state_b, sharded_batch, jax.random.key(2))
+
+        np.testing.assert_allclose(
+            float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4
+        )
+        # grad norms must agree; per-parameter post-Adam comparison is not
+        # meaningful (first-step sign normalization amplifies fp noise).
+        np.testing.assert_allclose(
+            float(metrics_a["grad_norm"]), float(metrics_b["grad_norm"]), rtol=1e-2
+        )
+        # a second step must also agree on the loss trajectory
+        state_a, metrics_a2 = train_step(model, state_a, batch, jax.random.key(3))
+        state_b, metrics_b2 = train_step(model, state_b, sharded_batch, jax.random.key(3))
+        np.testing.assert_allclose(
+            float(metrics_a2["loss"]), float(metrics_b2["loss"]), rtol=1e-3
+        )
