@@ -1,0 +1,108 @@
+"""End-to-end stereo inference benchmark on the local accelerator.
+
+Measures the reference serve path (scripts/eval_model.py §3.2 call stack) as
+ONE jitted XLA program per batch of stereo pairs:
+
+    frames (2B, 511, 511, 3) bf16
+      -> KeypointNet forward (CornerNet-Squeeze hourglass + 3 heads)
+      -> sigmoid heatmaps -> peak extraction -> center association
+      -> capacity resolution -> depth-lookup unprojection to 3D.
+
+Metric: stereo pairs per second, end-to-end (both views fully decoded).
+Baseline: the driver-set north star of 500 stereo frames/sec/chip
+(BASELINE.md) — the reference itself publishes no numbers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+PAIRS = 8  # stereo pairs per batch
+WARMUP = 3
+ITERS = 20
+BASELINE_FPS = 500.0
+
+
+def build():
+    from object_keypoints_tpu.geometry import load_calibration_params
+    from object_keypoints_tpu.models import KeypointNet
+    from object_keypoints_tpu.models.keypoint_net import nhwc_outputs_to_reference
+    from object_keypoints_tpu.pipeline.decode_jit import CameraArrays, _decode_objects_impl
+
+    params = load_calibration_params("config/calibration.yaml")
+    # camera chain into 64x64 prediction space (scripts/eval_model.py:61-69)
+    from object_keypoints_tpu.geometry import FisheyeCamera
+
+    offset = np.array([(511.0 / 720.0 * 1280.0 - 511.0) / 2.0, 0.0])
+    cam = (
+        FisheyeCamera(params["K"], params["D"], params["image_size"])
+        .scale(511.0 / 720.0)
+        .cut(offset)
+        .scale(64.0 / 511.0)
+    )
+    camera = CameraArrays(
+        K=jnp.asarray(cam.K, jnp.float32),
+        D=jnp.asarray(cam.D, jnp.float32),
+        Kinv=jnp.asarray(cam.Kinv, jnp.float32),
+        image_size=jnp.asarray(cam.image_size, jnp.float32),
+    )
+
+    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)  # valve topology [1, 3]
+    frames = jnp.zeros((2 * PAIRS, 511, 511, 3), jnp.bfloat16)
+    variables = model.init({"params": jax.random.key(0)}, frames[:1], train=False)
+
+    keypoint_config = (1, 3)
+
+    @jax.jit
+    def step(frames):
+        outs = model.apply(variables, frames, train=False)
+        heat, depth, centers = nhwc_outputs_to_reference(outs, stack=-1)
+        heat = heat.astype(jnp.float32)
+        depth = depth.astype(jnp.float32)
+        centers = centers.astype(jnp.float32)
+        decoded = jax.vmap(
+            lambda p, d, o: _decode_objects_impl(
+                p, d, o, camera, keypoint_config, "equidistant", 16, 20.0, 0.5
+            )
+        )(heat, depth, centers)
+        return decoded.center_p3d, decoded.keypoints_p3d, decoded.keypoints_valid
+
+    return step, frames
+
+
+def main():
+    step, frames = build()
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=frames.shape), jnp.bfloat16)
+
+    for _ in range(WARMUP):
+        out = step(frames)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = PAIRS * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_pairs_per_sec_e2e",
+                "value": round(pairs_per_sec, 2),
+                "unit": "stereo pairs/s (1 chip, 511x511, bf16, forward+decode+3D)",
+                "vs_baseline": round(pairs_per_sec / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ from object_keypoints_tpu.pipeline.decode_jit import (
     CameraArrays,
     DecodedObjects,
     decode_objects,
+    decode_objects_batch,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "CameraArrays",
     "DecodedObjects",
     "decode_objects",
+    "decode_objects_batch",
 ]

@@ -73,11 +73,7 @@ def _lift(points, valid, depth_plane, camera: CameraArrays, model: str):
     return jnp.where(valid[..., None], p3d, 0.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("keypoint_config", "model", "max_peaks", "reject_distance", "peak_threshold"),
-)
-def decode_objects(
+def _decode_objects_impl(
     probs,
     depth,
     offsets,
@@ -150,3 +146,34 @@ def decode_objects(
         raw_points=type_points,
         raw_valid=type_valid,
     )
+
+
+_STATIC_DECODE_ARGS = (
+    "keypoint_config",
+    "model",
+    "max_peaks",
+    "reject_distance",
+    "peak_threshold",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_DECODE_ARGS)
+def decode_objects(probs, depth, offsets, camera, keypoint_config, model="equidistant",
+                   max_peaks=32, reject_distance=20.0, peak_threshold=0.5):
+    return _decode_objects_impl(
+        probs, depth, offsets, camera, keypoint_config, model, max_peaks,
+        reject_distance, peak_threshold,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_DECODE_ARGS)
+def decode_objects_batch(probs, depth, offsets, camera, keypoint_config,
+                         model="equidistant", max_peaks=32, reject_distance=20.0,
+                         peak_threshold=0.5):
+    """Batched decode: probs/depth (N, K, H, W), offsets (N, T, 2, H, W)."""
+    return jax.vmap(
+        lambda p, d, o: _decode_objects_impl(
+            p, d, o, camera, keypoint_config, model, max_peaks,
+            reject_distance, peak_threshold,
+        )
+    )(probs, depth, offsets)
