@@ -1,0 +1,171 @@
+"""SceneDataset: stream one encoded sequence into training examples.
+
+Rebuild of perception/datasets/video.py:58-263. A sequence directory holds
+    frames.mp4        — the recorded video (read with cv2.VideoCapture; the
+                        reference uses scikit-video, not in this image)
+    data.hdf5         — (N, 4, 4) 'camera_transform' world-from-camera poses
+    keypoints.json    — {'3d_points': [...]} labeled world keypoints
+    calibration.yaml  — Kalibr camera intrinsics
+
+Per frame: project world keypoints through the fisheye camera, resize/crop
+(+augment), scale into 64x64 prediction space and render heatmap / center /
+depth targets. Target rendering runs as one jitted device program
+(data.targets.render_all_targets) instead of the reference's numba host
+loops — this host has a single CPU core.
+
+Output layout is NHWC (TPU-native): dict(frame (511,511,3) normalized f32,
+heatmaps (64,64,K), depth (64,64,K), centers (64,64,T,2) [, T_WC,
+keypoints (4, n_keypoints, 2)]).
+
+``StereoVideoDataset`` is kept as an alias: the reference's tests import it
+(test/test_pipeline.py:6) even though its current code renamed it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+import h5py
+import jax.numpy as jnp
+
+from object_keypoints_tpu.data import targets as targets_mod
+from object_keypoints_tpu.data.augment import AugmentationPipeline
+from object_keypoints_tpu.geometry import cameras as camera_utils
+from object_keypoints_tpu.geometry import linalg
+
+# ImageNet-ish normalization constants from the reference (video.py:55-56).
+RGB_MEAN = np.array([0.40789654, 0.44719302, 0.47026115], dtype=np.float32)
+RGB_STD = np.array([0.28863828, 0.27408164, 0.27809835], dtype=np.float32)
+
+KEYPOINT_FILENAME = "keypoints.json"  # perception/constants.py:9
+
+
+class SceneDataset:
+    width = 1280
+    height = 720
+    width_resized = 511
+    height_resized = 511
+    heatmap_size = targets_mod.HEATMAP_SIZE
+    prediction_size = np.array([heatmap_size, heatmap_size])
+    # x/y offset of the center crop in resized space (video.py:69)
+    image_offset = np.array([(height_resized / height * width - 511.0) / 2.0, 0.0])
+
+    def __init__(self, base_dir, keypoint_config, augment: bool = False,
+                 augment_color: bool = False, include_pose: bool = False,
+                 seed: Optional[int] = None):
+        del augment_color  # accepted-and-unused, like the reference call sites
+        self.base_dir = os.path.expanduser(str(base_dir))
+        self.metadata_path = os.path.join(self.base_dir, "data.hdf5")
+        self.augment = augment
+        self.keypoint_config = [1] + list(keypoint_config["keypoint_config"])
+        self.include_pose = include_pose
+        self.rng = np.random.default_rng(seed)
+        self._init_points()
+        self._load_calibration()
+        self.target_size = tuple(self.prediction_size)
+        self.image_size = (self.height_resized, self.width_resized)
+        self.augmentations = AugmentationPipeline(self.image_size, augment=augment)
+        with h5py.File(self.metadata_path, "r") as f:
+            self.poses = f["camera_transform"][:]
+
+    def __len__(self):
+        return self.poses.shape[0]
+
+    def _load_calibration(self):
+        calibration_file = os.path.join(self.base_dir, "calibration.yaml")
+        self.camera = camera_utils.from_calibration(calibration_file)
+
+    def _init_points(self):
+        """Load labeled points; prepend a synthetic per-object center =
+        mean of the object's points (video.py:112-137)."""
+        filepath = os.path.join(self.base_dir, KEYPOINT_FILENAME)
+        with open(filepath, "rt") as f:
+            contents = json.load(f)
+        world_points = np.array(contents["3d_points"])[:, :3]
+        self.n_keypoints = sum(self.keypoint_config)
+        n_real = self.n_keypoints - 1
+        if world_points.shape[0] % n_real:
+            raise AssertionError(
+                f"Wrong number of keypoints: {world_points.shape[0]} labeled, "
+                f"{n_real} per object, sequence {self.base_dir}"
+            )
+        self.n_objects = world_points.shape[0] // n_real
+        self.keypoint_maps = len(self.keypoint_config)
+        self.world_points = np.zeros((self.n_keypoints * self.n_objects, 3))
+        for i in range(self.n_objects):
+            obj = world_points[i * n_real : (i + 1) * n_real]
+            self.world_points[i * self.n_keypoints] = obj.mean(axis=0)
+            self.world_points[i * self.n_keypoints + 1 : (i + 1) * self.n_keypoints] = obj
+
+    def __iter__(self) -> Iterator[dict]:
+        video_file = os.path.join(self.base_dir, "frames.mp4")
+        capture = cv2.VideoCapture(video_file)
+        try:
+            i = 0
+            while i < len(self):
+                ok, frame = capture.read()
+                if not ok:
+                    break
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                yield self._extract_example(self.poses[i], frame)
+                i += 1
+        finally:
+            capture.release()
+
+    def _extract_example(self, T_WC, frame) -> dict:
+        T_CW = np.asarray(linalg.inv_transform(T_WC))
+        p_WK = self.world_points
+        projected = self.camera.project(p_WK, T_CW)
+        frame, keypoints = self.augmentations(frame, projected, self.rng)
+
+        scaling = np.array(self.target_size, np.float64) / np.array(self.image_size)
+        # (x, y) keypoints scale with (w, h); target/image are square here
+        points_t = (keypoints * scaling[::-1]).reshape(self.n_objects, self.n_keypoints, 2)
+        points_C = np.asarray(linalg.transform_points(T_CW, p_WK)).reshape(
+            self.n_objects, self.n_keypoints, 3
+        )
+        valid = np.ones((self.n_objects, self.n_keypoints), bool)
+
+        heat, depth, centers = targets_mod.render_all_targets(
+            jnp.asarray(points_t, jnp.float32),
+            jnp.asarray(points_C, jnp.float32),
+            jnp.asarray(valid),
+            tuple(self.keypoint_config),
+            self.target_size,
+        )
+
+        image = (frame.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD
+
+        example = {
+            "frame": image,  # (511, 511, 3) NHWC
+            "heatmaps": np.transpose(np.asarray(heat), (1, 2, 0)),  # (64, 64, K)
+            "depth": np.transpose(np.asarray(depth), (1, 2, 0)),
+            "centers": np.transpose(np.asarray(centers), (2, 3, 0, 1)),  # (64,64,T,2)
+        }
+        if self.include_pose:
+            keypoints_out = np.zeros((self.n_keypoints * 4, 2))
+            flat = points_t.reshape(-1, 2)
+            keypoints_out[: flat.shape[0]] = flat
+            example["T_WC"] = np.asarray(T_WC)
+            example["keypoints"] = keypoints_out.reshape(4, self.n_keypoints, 2)
+        return example
+
+    @staticmethod
+    def to_image(image):
+        """Undo normalization -> uint8 HWC (video.py:265-277; ours is
+        already HWC)."""
+        return np.clip((np.asarray(image) * RGB_STD + RGB_MEAN) * 255.0, 0.0, 255.0).astype(
+            np.uint8
+        )
+
+
+# Name kept because the reference's tests import it (test_pipeline.py:6).
+StereoVideoDataset = SceneDataset

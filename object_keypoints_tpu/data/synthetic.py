@@ -1,0 +1,115 @@
+"""Synthetic sequence generation for tests / end-to-end demos.
+
+The reference ships no recorded sequences (its datasets come off the
+robot). This module renders physically-consistent synthetic sequences in
+the exact on-disk layout SceneDataset expects: world keypoints, an orbiting
+camera trajectory, and frames with bright gaussian blobs at the projected
+keypoint locations — enough signal for the network to genuinely learn the
+task, and exact geometry for pipeline-level assertions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from object_keypoints_tpu.data.encode import SequenceWriter
+from object_keypoints_tpu.geometry import linalg, from_calibration
+
+
+def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
+    """T_WC with camera z-axis pointed from eye at target."""
+    z = np.asarray(target, np.float64) - np.asarray(eye, np.float64)
+    z /= np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    T = np.eye(4)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, eye
+    return T
+
+
+def sample_object_keypoints(rng, keypoint_config: Sequence[int], n_objects: int,
+                            spread: float = 0.12, separation: float = 0.45):
+    """World keypoints for n_objects instances (no synthetic centers — those
+    are derived by the dataset, video.py:112-129)."""
+    n_real = sum(keypoint_config)
+    points = []
+    for i in range(n_objects):
+        base = np.array([(i - (n_objects - 1) / 2.0) * separation, 0.0, 1.2])
+        offsets = rng.uniform(-spread, spread, size=(n_real, 3))
+        points.append(base + offsets)
+    return np.concatenate(points, axis=0)
+
+
+def write_synthetic_sequence(
+    out_dir: str,
+    calibration_file: str,
+    keypoint_config: Sequence[int],
+    n_objects: int = 1,
+    n_frames: int = 30,
+    image_size=(720, 1280),
+    seed: int = 0,
+    blob_sigma: float = 12.0,
+    orbit_radius: float = 0.35,
+):
+    """Create a full sequence directory; returns the world keypoints."""
+    rng = np.random.default_rng(seed)
+    camera = from_calibration(calibration_file)
+    world_points = sample_object_keypoints(rng, keypoint_config, n_objects)
+    target = world_points.mean(axis=0)
+
+    h, w = image_size
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    with SequenceWriter(out_dir, preview=False) as writer:
+        writer.write_calibration(calibration_file)
+        writer.write_keypoints(world_points)
+        for i in range(n_frames):
+            angle = 2.0 * np.pi * i / max(n_frames, 1) * 0.25
+            eye = np.array(
+                [orbit_radius * np.sin(angle), 0.15 * np.sin(2 * angle),
+                 -0.05 * np.cos(angle)]
+            )
+            T_WC = _look_at(eye, target)
+            T_CW = np.asarray(linalg.inv_transform(T_WC))
+            projected = camera.project(world_points, T_CW)
+
+            frame = rng.integers(20, 60, size=(h, w, 3), dtype=np.uint8)
+            canvas = frame.astype(np.float32)
+            for k, (px, py) in enumerate(projected):
+                if not (0 <= px < w and 0 <= py < h):
+                    continue
+                blob = np.exp(-((xs - px) ** 2 + (ys - py) ** 2) / (2 * blob_sigma**2))
+                color = np.array(
+                    [120 + 40 * (k % 3), 80 + 50 * ((k + 1) % 3), 200 - 30 * (k % 4)],
+                    np.float32,
+                )
+                canvas += blob[..., None] * color[None, None]
+            frame = np.clip(canvas, 0, 255).astype(np.uint8)
+            writer.add_frame(frame, T_WC)
+    return world_points
+
+
+def make_synthetic_dataset_tree(root: str, calibration_file: str,
+                                keypoint_config: Sequence[int],
+                                n_train: int = 2, n_val: int = 1, **kwargs):
+    """train/ + val/ sequence trees like the reference's --train/--val
+    directories (scripts/train.py:119-139)."""
+    for split, count in (("train", n_train), ("val", n_val)):
+        for i in range(count):
+            write_synthetic_sequence(
+                os.path.join(root, split, f"seq_{i:02d}"),
+                calibration_file,
+                keypoint_config,
+                seed=hash((split, i)) % (1 << 31),
+                **kwargs,
+            )
+    return os.path.join(root, "train"), os.path.join(root, "val")
