@@ -1,0 +1,63 @@
+"""Checkpointing via Orbax: best-on-val + resumable train state.
+
+Reference behavior (SURVEY.md §5.4): Lightning ModelCheckpoint keeps top-1
+on val_loss with hparams.yaml alongside (scripts/train.py:170-172,53);
+--resume restores weights under new hyperparameters (train.py:163-168).
+Here: Orbax PyTreeCheckpointer under <dir>/best and <dir>/last plus
+hparams.json; the exported serving artifact is written separately
+(serving.export).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, hparams: Optional[dict] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self.best_val = float("inf")
+        if hparams is not None:
+            with open(os.path.join(self.directory, "hparams.json"), "wt") as f:
+                json.dump(hparams, f, indent=2)
+
+    def _save(self, name: str, payload: Any):
+        path = os.path.join(self.directory, name)
+        self._ckpt.save(path, _to_host(payload), force=True)
+
+    def save_last(self, state, step: int):
+        self._save("last", {"params": state.params, "batch_stats": state.batch_stats,
+                            "opt_state": state.opt_state, "step": step})
+
+    def save_if_best(self, state, step: int, val_loss: float) -> bool:
+        """Keep top-1 on val_loss (ModelCheckpoint save_top_k=1 parity)."""
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self._save("best", {"params": state.params, "batch_stats": state.batch_stats,
+                                "opt_state": state.opt_state, "step": step,
+                                "val_loss": val_loss})
+            return True
+        return False
+
+    def restore(self, name: str = "last", template: Optional[Any] = None):
+        path = os.path.join(self.directory, name)
+        if template is not None:
+            return self._ckpt.restore(path, item=_to_host(template))
+        return self._ckpt.restore(path)
+
+    @staticmethod
+    def load_hparams(directory: str) -> dict:
+        with open(os.path.join(directory, "hparams.json"), "rt") as f:
+            return json.load(f)

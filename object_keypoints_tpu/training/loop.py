@@ -1,0 +1,193 @@
+"""The full training loop: data -> sharded steps -> validation -> checkpoints.
+
+Orchestration parity with scripts/train.py:45-179 (KeypointModule +
+DataModule + Trainer): per-sequence SceneDatasets chained + shuffle-pooled
+(train.py:132-139), AdamW + plateau schedule monitoring train loss, val
+metric = L1(sigmoid(heatmap[-1]), target), ModelCheckpoint top-1 on
+val_loss. TPU-first: one mesh over all local devices, batch sharded over
+``data``, threaded device prefetch, bf16 compute optional.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from object_keypoints_tpu.data.combinators import Chain, SamplingPool, batched
+from object_keypoints_tpu.data.prefetch import device_prefetch
+from object_keypoints_tpu.data.scene import SceneDataset
+from object_keypoints_tpu.models import KeypointNet
+from object_keypoints_tpu.parallel import batch_sharding, create_mesh
+from object_keypoints_tpu.serving.export import export_model
+from object_keypoints_tpu.training.checkpoints import CheckpointManager
+from object_keypoints_tpu.training.trainer import (
+    create_train_state,
+    eval_step,
+    make_optimizer,
+    train_step,
+)
+from object_keypoints_tpu.utils.metrics import MetricsLogger, print_metrics
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flags parity with scripts/train.py:17-33 (defaults included)."""
+
+    train: str = ""
+    val: str = ""
+    keypoint_config: Sequence[int] = (1, 1, 1)
+    batch_size: int = 8
+    lr: float = 4e-3
+    weight_decay: float = 0.01
+    features: int = 128
+    center_weight: float = 1.0
+    depth_weight: float = 10.0
+    dropout: float = 0.1
+    pool: int = 1000
+    epochs: int = 10
+    steps_per_epoch: Optional[int] = None  # None = exhaust the chain
+    bf16: bool = False  # reference --fp16; bf16 is the TPU-native choice
+    seed: int = 0
+    out_dir: str = "runs/keypoints"
+    resume: Optional[str] = None
+    log_every: int = 10
+    # model-size overrides (full CornerNet-Squeeze geometry by default)
+    model_overrides: Optional[dict] = None
+
+    @property
+    def heatmaps_out(self) -> int:
+        return len(list(self.keypoint_config)) + 1
+
+
+def _build_sequences(root: str, keypoint_config, **kwargs):
+    dirs = sorted(os.path.join(root, d) for d in os.listdir(root))
+    return [SceneDataset(d, {"keypoint_config": list(keypoint_config)}, **kwargs)
+            for d in dirs]
+
+
+def build_model(config: TrainConfig) -> KeypointNet:
+    overrides = dict(config.model_overrides or {})
+    return KeypointNet(
+        heatmaps_out=config.heatmaps_out,
+        features=config.features,
+        dropout=config.dropout,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+        **overrides,
+    )
+
+
+def train(config: TrainConfig) -> dict:
+    """Run training; returns {'best_val_loss', 'steps', 'checkpoint_dir'}."""
+    # data-parallel over the largest device subset the batch size divides
+    devices = jax.devices()
+    n_data = max(d for d in range(1, len(devices) + 1) if config.batch_size % d == 0)
+    mesh = create_mesh(devices=devices[:n_data], model_parallel=1)
+    sharding = batch_sharding(mesh)
+    model = build_model(config)
+
+    train_sets = _build_sequences(config.train, config.keypoint_config, augment=True)
+    val_sets = _build_sequences(config.val, config.keypoint_config,
+                                augment=False, include_pose=True)
+
+    rng = jax.random.key(config.seed)
+    init_rng, dropout_rng = jax.random.split(rng)
+    sample = next(iter(train_sets[0]))
+    frame_shape = (1, *sample["frame"].shape)
+    variables = model.init(
+        {"params": init_rng}, jnp.zeros(frame_shape, model.dtype), train=False
+    )
+    tx = make_optimizer(lr=config.lr, weight_decay=config.weight_decay)
+    state = create_train_state(model, variables, tx)
+
+    hparams = dataclasses.asdict(config)
+    hparams["keypoint_config"] = list(config.keypoint_config)
+    ckpt = CheckpointManager(config.out_dir, hparams=hparams)
+    if config.resume:
+        restored = CheckpointManager(config.resume).restore(
+            "last",
+            template={"params": state.params, "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state, "step": 0},
+        )
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+
+    logger = MetricsLogger(config.out_dir)
+    step = int(state.step)
+
+    def _train_batches():
+        chain = Chain(train_sets, shuffle=True, seed=config.seed)
+        pooled = SamplingPool(chain, config.pool, seed=config.seed)
+        yield from batched(pooled, config.batch_size)
+
+    def _val_batches():
+        chain = Chain(val_sets)
+        # pose extras are host-side metadata; the eval_step batch needs the
+        # tensor fields only
+        for b in batched(chain, config.batch_size * 2, drop_last=False):
+            yield {k: b[k] for k in ("frame", "heatmaps", "depth", "centers")}
+
+    for epoch in range(config.epochs):
+        for batch in device_prefetch(_train_batches(), sharding=sharding):
+            if config.bf16:
+                batch["frame"] = batch["frame"].astype(jnp.bfloat16)
+            state, metrics = train_step(
+                model, state, batch, dropout_rng,
+                depth_weight=config.depth_weight, center_weight=config.center_weight,
+            )
+            step += 1
+            if step % config.log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["lr_scale"] = float(state.lr_scale)
+                logger.log(step, host)
+                print_metrics(step, {"loss": host["loss"]}, extra=f"epoch={epoch}")
+            if config.steps_per_epoch and step % config.steps_per_epoch == 0:
+                break
+
+        # validation epoch (scripts/train.py:77-93 metric names)
+        val_metrics = []
+        for batch in device_prefetch(_val_batches(), sharding=None):
+            if config.bf16:
+                batch["frame"] = batch["frame"].astype(jnp.bfloat16)
+            val_metrics.append(
+                {k: float(v) for k, v in eval_step(
+                    model, state, batch,
+                    depth_weight=config.depth_weight,
+                    center_weight=config.center_weight,
+                ).items()}
+            )
+        mean_val = {k: float(np.mean([m[k] for m in val_metrics]))
+                    for k in val_metrics[0]} if val_metrics else {"val_loss": np.inf}
+        logger.log(step, mean_val)
+        print_metrics(step, {"val_loss": mean_val["val_loss"]}, extra=f"epoch={epoch} [val]")
+
+        ckpt.save_last(state, step)
+        ckpt.save_if_best(state, step, mean_val["val_loss"])
+
+    # serving artifact from the final params (package_model.py analog)
+    export_dir = os.path.join(config.out_dir, "export")
+    export_model(
+        export_dir,
+        {
+            "heatmaps_out": config.heatmaps_out,
+            "features": config.features,
+            "dropout": config.dropout,
+            "keypoint_config": list(config.keypoint_config),
+            **(config.model_overrides or {}),
+        },
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    logger.close()
+    return {
+        "best_val_loss": ckpt.best_val,
+        "steps": step,
+        "checkpoint_dir": config.out_dir,
+        "export_dir": export_dir,
+    }

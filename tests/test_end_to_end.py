@@ -1,0 +1,104 @@
+"""End-to-end integration: synthetic dataset -> training loop -> checkpoint
++ serving export -> LearnedKeypointTrackingPipeline inference."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from object_keypoints_tpu.data.synthetic import make_synthetic_dataset_tree
+
+TINY_OVERRIDES = dict(
+    levels=2,
+    dims=(16, 16, 32),
+    mods=(1, 1, 1),
+    stem_features=(8, 16),
+    cnv_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_tree(tmp_path_factory, calibration_file):
+    root = tmp_path_factory.mktemp("synth")
+    train_dir, val_dir = make_synthetic_dataset_tree(
+        str(root), calibration_file, keypoint_config=[1, 3],
+        n_train=1, n_val=1, n_frames=8,
+    )
+    return train_dir, val_dir
+
+
+@pytest.fixture(scope="module")
+def train_result(dataset_tree, tmp_path_factory):
+    from object_keypoints_tpu.training.loop import TrainConfig, train
+
+    train_dir, val_dir = dataset_tree
+    out = tmp_path_factory.mktemp("run")
+    config = TrainConfig(
+        train=train_dir,
+        val=val_dir,
+        keypoint_config=[1, 3],
+        batch_size=4,
+        lr=1e-3,
+        features=8,
+        dropout=0.0,
+        pool=8,
+        epochs=1,
+        out_dir=str(out),
+        model_overrides=TINY_OVERRIDES,
+        log_every=1,
+    )
+    return train(config), config
+
+
+class TestTrainingLoop:
+    def test_produces_checkpoints_and_export(self, train_result):
+        result, config = train_result
+        import os
+
+        assert result["steps"] >= 2
+        assert np.isfinite(result["best_val_loss"])
+        assert os.path.isdir(os.path.join(config.out_dir, "best"))
+        assert os.path.isdir(os.path.join(config.out_dir, "last"))
+        assert os.path.isfile(os.path.join(config.out_dir, "hparams.json"))
+        assert os.path.isfile(os.path.join(result["export_dir"], "config.json"))
+        assert os.path.isfile(os.path.join(config.out_dir, "metrics.jsonl"))
+
+    def test_resume_restores_step(self, train_result, tmp_path):
+        from object_keypoints_tpu.training.loop import TrainConfig, train
+
+        result, config = train_result
+        resumed = TrainConfig(
+            **{**config.__dict__, "resume": config.out_dir,
+               "out_dir": str(tmp_path / "resumed"), "epochs": 1}
+        )
+        r2 = train(resumed)
+        assert r2["steps"] > result["steps"]
+
+    def test_exported_model_runs_pipeline(self, train_result, dataset_tree):
+        """The serving artifact must drive the full tracking pipeline
+        (reference eval_model serve path)."""
+        from object_keypoints_tpu.data.scene import SceneDataset
+        from object_keypoints_tpu.pipeline import LearnedKeypointTrackingPipeline
+
+        result, config = train_result
+        _, val_dir = dataset_tree
+        import os
+
+        seq = os.path.join(val_dir, sorted(os.listdir(val_dir))[0])
+        ds = SceneDataset(seq, {"keypoint_config": [1, 3]}, include_pose=True)
+
+        # prediction-space camera (eval_model.py:61-69)
+        offset = SceneDataset.image_offset
+        camera = ds.camera.scale(511.0 / 720.0).cut(offset).scale(64.0 / 511.0)
+
+        pipeline = LearnedKeypointTrackingPipeline(
+            result["export_dir"], False, [64, 64], None,
+            {"keypoint_config": [1, 3]},
+        )
+        pipeline.reset(camera)
+
+        example = next(iter(ds))
+        frame = np.transpose(example["frame"], (2, 0, 1))[None]  # NCHW contract
+        objects, heatmap = pipeline(frame)
+        assert heatmap.shape == (1, 3, 8, 8) or heatmap.shape[1] == 3
+        assert isinstance(objects, list)  # untrained net may detect 0..n objects
