@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Evaluation CLI — reference scripts/eval_model.py parity (headless).
+
+Plays each sequence through the pipeline (learned model or ground-truth
+maps), accumulates 3D keypoint errors, prints the rich metric table, and
+optionally writes overlay frames with matplotlib (--write; the interactive
+hud window of the reference is replaced by frame dumps — no display in this
+environment).
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def read_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("data", help="Path to dataset folder.")
+    parser.add_argument("--model", "-m", type=str, help="Exported model directory.")
+    parser.add_argument("--centers", action="store_true", help="Show center predictions.")
+    parser.add_argument("--ground-truth", action="store_true",
+                        help="Decode labels instead of predictions.")
+    parser.add_argument("--keypoints", type=str, default="config/cups.json")
+    parser.add_argument("--write", type=str, help="Write overlay frames to folder.")
+    parser.add_argument("--cpu", action="store_true", help="(accepted for parity)")
+    parser.add_argument("--world", action="store_true",
+                        help="Project 3D points instead of 2D detections.")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-frames", type=int, default=None)
+    return parser.parse_args()
+
+
+def _write_overlay(out_dir, frame_number, example, objects, sequence, world):
+    from matplotlib import cm, pyplot
+    import cv2
+
+    from object_keypoints_tpu.data.scene import SceneDataset
+
+    rgb = SceneDataset.to_image(example["frame"])
+    heat = np.clip(example["heatmaps"].sum(axis=-1), 0, 1)
+    heat_img = (cm.inferno(heat) * 255).astype(np.uint8)[..., :3]
+    heat_img = cv2.resize(heat_img, rgb.shape[:2][::-1])
+    image = (0.3 * rgb + 0.7 * heat_img).astype(np.uint8)
+
+    fig = pyplot.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111)
+    ax.imshow(image)
+    for obj in objects:
+        if world:
+            pts = [p for p in obj["p_C"] if p is not None]
+            if pts:
+                pts = sequence.camera.project(np.concatenate(pts, axis=0)) + 0.5
+                ax.scatter(pts[:, 0], pts[:, 1], s=6)
+        else:
+            pts = [p + 1.0 for p in obj["keypoints"] if getattr(p, "size", 0)]
+            if pts:
+                pts = sequence.to_image_points(np.concatenate(pts, axis=0))
+                ax.scatter(pts[:, 0], pts[:, 1], s=6)
+    ax.axis("off")
+    fig.savefig(os.path.join(out_dir, f"{frame_number:06}.jpg"), bbox_inches="tight")
+    pyplot.close(fig)
+
+
+def main():
+    flags = read_args()
+    random.seed(flags.seed)
+
+    from object_keypoints_tpu.evaluation import Results, Sequence
+    from object_keypoints_tpu.pipeline import (
+        LearnedKeypointTrackingPipeline,
+        ObjectKeypointPipeline,
+    )
+
+    with open(flags.keypoints, "rt") as f:
+        keypoint_config = json.load(f)
+
+    if flags.write:
+        os.makedirs(flags.write, exist_ok=True)
+
+    sequences = sorted(os.path.join(flags.data, s) for s in os.listdir(flags.data))
+    random.shuffle(sequences)
+
+    results = Results()
+    frame_number = 0
+    for seq_path in sequences:
+        sequence = Sequence(seq_path, keypoint_config)
+        if flags.ground_truth:
+            pipeline = ObjectKeypointPipeline(
+                tuple(sequence.prediction_size), sequence.keypoints, keypoint_config
+            )
+        else:
+            assert flags.model, "--model required unless --ground-truth"
+            pipeline = LearnedKeypointTrackingPipeline(
+                flags.model, not flags.cpu, tuple(sequence.prediction_size),
+                sequence.keypoints, keypoint_config,
+            )
+        pipeline.reset(sequence.camera_small)
+        results.set_calibration(sequence.camera_small)
+
+        for i, example in enumerate(sequence.dataset):
+            if flags.max_frames is not None and i >= flags.max_frames:
+                break
+            if flags.ground_truth:
+                heat = np.transpose(example["heatmaps"], (2, 0, 1))[None]
+                depth = np.transpose(example["depth"], (2, 0, 1))[None]
+                centers = np.transpose(example["centers"], (2, 3, 0, 1))[None]
+                objects = pipeline(heat, depth, centers)
+            else:
+                frame = np.transpose(example["frame"], (2, 0, 1))[None]
+                objects, _ = pipeline(frame)
+            results.add(example["T_WC"], objects, sequence.world_points)
+            if flags.write:
+                _write_overlay(flags.write, frame_number, example, objects,
+                               sequence, flags.world)
+            frame_number += 1
+    results.print_results()
+
+
+if __name__ == "__main__":
+    main()
