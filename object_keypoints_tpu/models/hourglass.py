@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -78,6 +79,63 @@ class FireHourglass(nn.Module):
             name="up2",
         )(low3)
         return up1 + up2
+
+
+class ResidualHourglass(nn.Module):
+    """Residual-block hourglass level for the CornerNet / CornerNet-Saccade
+    variants (modules.py:25-66 with CornerNet.py:13-16 makers: stride-2
+    residual downsampling, nearest-neighbor x2 unpool).
+
+    With ``collect_ups=True`` it also returns the per-level merge outputs
+    (deepest-first), which the saccade attention heads consume
+    (modules.py:151-196).
+    """
+
+    n: int
+    dims: Tuple[int, ...]
+    mods: Tuple[int, ...]
+    collect_ups: bool = False
+    dtype: jnp.dtype = jnp.float32
+    bn_cross_replica_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        curr_dim, next_dim = self.dims[0], self.dims[1]
+        curr_mod, next_mod = self.mods[0], self.mods[1]
+        kw = dict(dtype=self.dtype, bn_cross_replica_axis=self.bn_cross_replica_axis)
+
+        up1 = x
+        for i in range(curr_mod):
+            up1 = Residual(curr_dim, name=f"up1_{i}", **kw)(up1, train)
+
+        low1 = Residual(next_dim, stride=2, name="low1_0", **kw)(x, train)
+        for i in range(1, curr_mod):
+            low1 = Residual(next_dim, name=f"low1_{i}", **kw)(low1, train)
+
+        ups = []
+        if self.n > 1:
+            inner = ResidualHourglass(
+                self.n - 1, self.dims[1:], self.mods[1:],
+                collect_ups=self.collect_ups, name="low2", **kw,
+            )(low1, train)
+            low2, ups = inner if self.collect_ups else (inner, [])
+        else:
+            low2 = low1
+            for i in range(next_mod):
+                low2 = Residual(next_dim, name=f"low2_{i}", **kw)(low2, train)
+
+        low3 = low2
+        for i in range(curr_mod - 1):
+            low3 = Residual(next_dim, name=f"low3_{i}", **kw)(low3, train)
+        low3 = Residual(curr_dim, name=f"low3_{curr_mod - 1}", **kw)(low3, train)
+
+        # nearest-neighbor x2 unpool (modules.py:19-20 default maker)
+        n_, h, w, c = low3.shape
+        up2 = jax.image.resize(low3, (n_, h * 2, w * 2, c), method="nearest")
+        merged = up1 + up2
+        if self.collect_ups:
+            return merged, ups + [merged]
+        return merged
 
 
 class HourglassStack(nn.Module):

@@ -1,0 +1,136 @@
+"""Box NMS family: greedy IoU NMS, soft-NMS, merge soft-NMS, IoU matrix.
+
+The reference ships these as Cython (corner_net_lite/core/external/nms.pyx
+and bbox.pyx) with sequential greedy loops. TPU-native versions are
+fixed-shape array programs: the greedy dependency chain becomes a
+``lax.fori_loop`` over detections with masked updates — compile-friendly
+(static bounds), vectorized across the O(N) inner comparisons.
+
+All functions take (N, 5) [x1, y1, x2, y2, score] detections, sorted or
+not, and return masks/updated scores rather than ragged keep-lists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def bbox_overlaps(boxes, query_boxes):
+    """(N, 4) x (K, 4) -> (N, K) IoU-with-query-area denominator... exactly
+    the reference's overlap: intersection / union (bbox.pyx:15-55)."""
+    boxes = jnp.asarray(boxes)
+    query = jnp.asarray(query_boxes)
+    lt = jnp.maximum(boxes[:, None, :2], query[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:4], query[None, :, 2:4])
+    wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_b = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+    area_q = (query[:, 2] - query[:, 0] + 1.0) * (query[:, 3] - query[:, 1] + 1.0)
+    union = area_b[:, None] + area_q[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def _iou_matrix(dets):
+    return bbox_overlaps(dets[:, :4], dets[:, :4])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nms_mask(dets, threshold: float):
+    """Greedy IoU NMS (nms.pyx:17-69). Returns a boolean keep mask over the
+    input order (the reference returns kept indices of score-sorted input;
+    sort first for identical behavior)."""
+    n = dets.shape[0]
+    order = jnp.argsort(-dets[:, 4], stable=True)
+    sorted_dets = dets[order]
+    iou = _iou_matrix(sorted_dets)
+
+    def body(i, keep):
+        # suppress i unless kept-so-far say otherwise; then i suppresses later
+        keep_i = keep[i]
+        suppress = (iou[i] > threshold) & keep_i
+        later = jnp.arange(n) > i
+        return jnp.where(later & suppress, False, keep)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.ones(n, bool))
+    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return keep
+
+
+def soft_nms(dets, sigma: float = 0.5, Nt: float = 0.3, threshold: float = 0.001,
+             method: int = 0):
+    """Soft-NMS (nms.pyx:71+): decay overlapping scores instead of removing.
+
+    method: 0 = hard (classic NMS), 1 = linear decay, 2 = gaussian decay.
+    Returns updated (N, 5) detections; boxes whose decayed score falls below
+    ``threshold`` get score 0 (callers filter). Sequential-greedy like the
+    reference, as a fori_loop over the score-sorted order recomputed each
+    step (the reference re-sorts in place).
+    """
+    dets = jnp.asarray(dets, jnp.float32)
+    n = dets.shape[0]
+
+    def body(_, state):
+        scores, alive = state
+        # pick the highest remaining un-processed score
+        masked = jnp.where(alive, scores, -jnp.inf)
+        i = jnp.argmax(masked)
+        valid = masked[i] > -jnp.inf
+        iou = bbox_overlaps(dets[None, i, :4], dets[:, :4])[0]
+        if method == 1:
+            weight = jnp.where(iou > Nt, 1.0 - iou, 1.0)
+        elif method == 2:
+            weight = jnp.exp(-(iou * iou) / sigma)
+        else:
+            weight = jnp.where(iou > Nt, 0.0, 1.0)
+        weight = weight.at[i].set(1.0)
+        new_scores = jnp.where(alive & valid, scores * weight, scores)
+        new_scores = jnp.where(new_scores < threshold, 0.0, new_scores)
+        alive = alive.at[i].set(False)
+        return new_scores, alive
+
+    scores, _ = jax.lax.fori_loop(0, n, body, (dets[:, 4], jnp.ones(n, bool)))
+    return dets.at[:, 4].set(scores)
+
+
+def soft_nms_merge(dets, sigma: float = 0.5, Nt: float = 0.3,
+                   threshold: float = 0.001, method: int = 2,
+                   weight_exp: float = 6.0):
+    """Soft-NMS with box-coordinate merging (nms.pyx soft_nms_merge, used at
+    core/test/cornernet.py:12,164-166): each surviving box's coordinates
+    become the score^weight_exp-weighted average of the boxes it absorbed."""
+    dets = jnp.asarray(dets, jnp.float32)
+    n = dets.shape[0]
+
+    def body(_, state):
+        boxes, scores, alive = state
+        masked = jnp.where(alive, scores, -jnp.inf)
+        i = jnp.argmax(masked)
+        valid = masked[i] > -jnp.inf
+        iou = bbox_overlaps(boxes[None, i, :4], boxes[:, :4])[0]
+        if method == 1:
+            weight = jnp.where(iou > Nt, 1.0 - iou, 1.0)
+        elif method == 2:
+            weight = jnp.exp(-(iou * iou) / sigma)
+        else:
+            weight = jnp.where(iou > Nt, 0.0, 1.0)
+        weight = weight.at[i].set(1.0)
+
+        # merge absorbed boxes (iou > Nt, still alive) into box i
+        absorb = (iou > Nt) & alive & valid
+        w = jnp.where(absorb, scores**weight_exp, 0.0).at[i].set(scores[i] ** weight_exp)
+        denom = jnp.sum(w)
+        merged = jnp.sum(boxes[:, :4] * w[:, None], axis=0) / jnp.maximum(denom, 1e-12)
+        boxes = jnp.where(valid, boxes.at[i, :4].set(merged), boxes)
+
+        new_scores = jnp.where(alive & valid, scores * weight, scores)
+        new_scores = jnp.where(new_scores < threshold, 0.0, new_scores)
+        alive = alive.at[i].set(False)
+        return boxes, new_scores, alive
+
+    boxes, scores, _ = jax.lax.fori_loop(
+        0, n, body, (dets, dets[:, 4], jnp.ones(n, bool))
+    )
+    return boxes.at[:, 4].set(scores)
