@@ -1,0 +1,97 @@
+"""Saccade two-stage inference tests with a stubbed decoder."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from object_keypoints_tpu.inference.saccade import (
+    cornernet_saccade_inference,
+    crop_zoom,
+    decode_atts,
+    get_ref_locs,
+    location_nms,
+)
+from object_keypoints_tpu.utils.config import DetectionConfig
+
+
+class TestPieces:
+    def test_crop_zoom_scales_content(self):
+        img = np.zeros((100, 100, 3), np.float32)
+        img[40:60, 40:60] = 1.0
+        canvas, offset = crop_zoom(img, (50, 50), (50, 50), (100, 100))
+        # 50px window scaled x2 into 100: the white square doubles
+        assert canvas.sum() == pytest.approx(40 * 40 * 3, rel=0.1)
+        np.testing.assert_allclose(offset, [25.0, 25.0])
+
+    def test_get_ref_locs_scale_buckets(self):
+        dets = np.array([
+            [0, 0, 200, 100, 0.9, 0, 0, 0],   # maxhw 200 -> scale 192/200
+            [0, 0, 50, 40, 0.9, 0, 0, 0],     # maxhw 50 -> 64/50
+            [0, 0, 10, 10, 0.9, 0, 0, 0],     # maxhw 10 -> 24/10
+            [0, 0, 10, 10, 0.2, 0, 0, 0],     # low score -> dropped
+        ], np.float32)
+        locs = get_ref_locs(dets)
+        assert locs.shape == (3, 4)
+        np.testing.assert_allclose(locs[:, 2], [192 / 200, 64 / 50, 24 / 10])
+
+    def test_location_nms_suppresses_near_same_scale(self):
+        locs = np.array([
+            [50, 50, 1.0, 0.9],
+            [52, 52, 1.0, 0.8],   # near + same scale -> suppressed
+            [52, 52, 2.0, 0.7],   # different scale -> kept
+            [200, 200, 1.0, 0.6],  # far -> kept
+        ], np.float32)
+        out = location_nms(locs, thresh=16)
+        assert out.shape[0] == 3
+
+    def test_decode_atts_thresholds_and_ranges(self):
+        config = DetectionConfig({})
+        att = np.zeros((1, 4, 4, 1), np.float32)
+        att[0, 1, 2, 0] = 0.9
+        atts = [att, np.zeros((1, 8, 8, 1), np.float32), np.zeros((1, 16, 16, 1), np.float32)]
+        scales = np.array([1.0], np.float32)
+        offsets = np.zeros((1, 2), np.float32)
+        locs = decode_atts(config, atts, config["att_scales"], scales, offsets,
+                           256, 256, thresh=0.3)
+        assert locs.shape[0] == 1
+        # y = 1 * ratio(16) / 1 + 0, x = 2 * 16
+        np.testing.assert_allclose(locs[0, :2], [16.0, 32.0])
+
+
+class TestFullSaccade:
+    def test_two_stage_with_stub(self):
+        config = DetectionConfig({
+            "categories": 2, "input_size": [64, 64], "output_sizes": [[16, 16]],
+            "init_sizes": [32], "att_max_crops": 4,
+            "att_thresholds": [0.3, 0.3], "att_scales": [[1, 2, 4], [1, 2, 4]],
+            "att_nms_ks": [3, 3, 3], "nms_algorithm": "exp_soft_nms",
+            "max_per_image": 10, "ref_dets": True,
+        })
+
+        calls = {"n": 0}
+
+        def decode_fn(images, no_att):
+            calls["n"] += 1
+            n = images.shape[0]
+            dets = np.full((n, 6, 8), -1.0, np.float32)
+            dets[:, 0] = [2.0, 2.0, 8.0, 8.0, 0.8, 0.8, 0.8, 1.0]
+            atts = None
+            if not no_att:
+                a1 = np.zeros((n, 4, 4, 1), np.float32)
+                a1[:, 2, 2, 0] = 0.9  # one strong attention peak
+                atts = [jnp.asarray(a1),
+                        jnp.asarray(np.zeros((n, 8, 8, 1), np.float32)),
+                        jnp.asarray(np.zeros((n, 16, 16, 1), np.float32))]
+            return jnp.asarray(dets), atts
+
+        image = np.zeros((128, 128, 3), np.uint8)
+        out = cornernet_saccade_inference(config, decode_fn, image)
+        assert calls["n"] >= 2  # stage 1 + at least one zoom pass
+        assert set(out.keys()) == {1, 2}
+        assert out[2].shape[0] >= 1  # planted class-1 (0-based) boxes
+        # the strongest instance survives; duplicates are soft-NMS-decayed
+        assert out[2][:, 4].max() > 0.7
+        assert (out[2][:, 4] > 0.0).all()
