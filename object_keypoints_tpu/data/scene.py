@@ -142,7 +142,9 @@ class SceneDataset:
             self.target_size,
         )
 
-        image = (frame.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD
+        from object_keypoints_tpu.data.native import normalize_image
+
+        image = normalize_image(frame, RGB_MEAN, RGB_STD)
 
         example = {
             "frame": image,  # (511, 511, 3) NHWC
