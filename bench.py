@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-PAIRS = 8  # stereo pairs per batch
+PAIRS = 16  # stereo pairs per batch (throughput near-saturates here; see memory notes)
 WARMUP = 3
 ITERS = 20
 BASELINE_FPS = 500.0

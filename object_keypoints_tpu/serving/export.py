@@ -59,8 +59,11 @@ def export_model(path: str, config: dict, variables) -> None:
     }
     with open(os.path.join(path, CONFIG_NAME), "wt") as f:
         json.dump(config, f, indent=2)
-    with open(os.path.join(path, PARAMS_NAME), "wb") as f:
+    # atomic write: a killed process must not leave a truncated artifact
+    tmp = os.path.join(path, PARAMS_NAME + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(to_save))
+    os.replace(tmp, os.path.join(path, PARAMS_NAME))
 
 
 def load_model(path: str, dtype=jnp.float32):

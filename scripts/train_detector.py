@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""CornerNet detection training CLI — the vendored corner_net_lite/train.py
+entry point.
+
+Loads a paired system/db JSON (object_keypoints_tpu/configs/*.json), builds
+the model named by the config file, streams COCO-format batches through the
+corner-target renderer, and runs the iteration-based trainer (step LR
+decay, periodic snapshots).
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+import threading
+import queue
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def read_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("cfg_file", help="Config name, e.g. CornerNet_Squeeze.")
+    parser.add_argument("--annotations", required=True, help="COCO annotation json.")
+    parser.add_argument("--images", required=True, help="Image directory.")
+    parser.add_argument("--iter", dest="start_iter", type=int, default=0,
+                        help="Resume from iteration (rebuilds the decayed LR).")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="Override config batch size (no chunk_sizes needed).")
+    parser.add_argument("--snapshot-dir", default="cache/nnet")
+    parser.add_argument("--workers", type=int, default=2,
+                        help="Prefetch threads (vendored uses processes).")
+    return parser.parse_args()
+
+
+def batch_stream(dataset, db_config, batch_size, workers):
+    """Threaded COCO batch producer (replaces the vendored prefetch
+    processes + pinned-memory thread, corner_net_lite/train.py:49-87)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.data.detection_targets import render_corner_targets
+    from object_keypoints_tpu.inference.detector import COCO_MEAN, COCO_STD
+
+    input_size = db_config["input_size"]
+    output_size = db_config["output_sizes"][0]
+    categories = db_config["categories"]
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def producer(seed):
+        rng = np.random.default_rng(seed)
+        while True:
+            images, targets = [], []
+            for _ in range(batch_size):
+                ind = int(rng.integers(len(dataset)))
+                img = cv2.imread(dataset.image_path(ind))
+                dets = dataset.detections(ind).copy()
+                h, w = img.shape[:2]
+                img = cv2.resize(img, (input_size[1], input_size[0]))
+                dets[:, 0:4:2] *= input_size[1] / w
+                dets[:, 1:4:2] *= input_size[0] / h
+                img = ((img[..., ::-1].astype(np.float32) / 255.0) - COCO_MEAN) / COCO_STD
+                images.append(img)
+                targets.append(
+                    render_corner_targets(
+                        dets, categories, input_size, output_size,
+                        gaussian_bump=db_config["gaussian_bump"],
+                        gaussian_iou=db_config["gaussian_iou"],
+                        gaussian_rad=db_config["gaussian_radius"],
+                    )
+                )
+            batch = {"images": jnp.asarray(np.stack(images))}
+            for key in targets[0]:
+                batch[key] = jnp.asarray(np.stack([t[key] for t in targets]))
+            q.put(batch)
+
+    for i in range(workers):
+        threading.Thread(target=producer, args=(i,), daemon=True).start()
+    while True:
+        yield q.get()
+
+
+def main():
+    flags = read_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.data.coco import CocoDetectionDataset
+    from object_keypoints_tpu.models.cornernet import (
+        cornernet,
+        cornernet_saccade,
+        cornernet_squeeze,
+    )
+    from object_keypoints_tpu.training.detection import train_detector
+    from object_keypoints_tpu.utils.config import DetectionConfig, SystemConfig, load_cfg
+
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "object_keypoints_tpu", "configs",
+        flags.cfg_file + ".json",
+    )
+    sys_cfg_json, db_cfg_json = load_cfg(cfg_path)
+    system_config = SystemConfig(**{"snapshot_name": flags.cfg_file}).update_config(sys_cfg_json)
+    db_config = DetectionConfig(db_cfg_json)
+    batch_size = flags.batch_size or system_config.batch_size
+
+    dataset = CocoDetectionDataset(flags.annotations, flags.images)
+
+    factory = {
+        "CornerNet": cornernet,
+        "CornerNet_Squeeze": cornernet_squeeze,
+        "CornerNet_Saccade": cornernet_saccade,
+    }[flags.cfg_file.split("-")[0]]
+    model = factory(categories=db_config["categories"], dtype=jnp.bfloat16)
+
+    dummy = jnp.zeros((1, db_config["input_size"][0], db_config["input_size"][1], 3),
+                      jnp.bfloat16)
+    variables = model.init({"params": jax.random.key(0)}, dummy)
+
+    os.makedirs(flags.snapshot_dir, exist_ok=True)
+    batches = batch_stream(dataset, db_config, batch_size, flags.workers)
+    train_detector(
+        model, variables, system_config, batches,
+        start_iter=flags.start_iter, snapshot_dir=flags.snapshot_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()
