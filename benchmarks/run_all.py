@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""The five BASELINE.md measurement configs, one JSON line each.
+
+1. single-image valve heatmap inference (CornerNet-Squeeze backbone, valve
+   topology)                                  -> images/s + latency
+2. stereo-pair 3D triangulation pipeline (undistort -> Hartley-Sturm ->
+   DLT, config/calibration.yaml)              -> point-pairs/s + 3D parity
+3. heatmap-loss training overfit run (OverfittingTest semantics)
+                                              -> steps/s + loss ratio
+4. multi-object cups scene with keypoint association (config/cups.json)
+                                              -> frames/s through decode
+5. batched video-sequence eval (eval_model semantics over an encoded
+   synthetic sequence)                        -> frames/s end-to-end
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _time(fn, iters, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_single_image_inference(iters):
+    """Config 1: single valve frame through the full network."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.models import KeypointNet
+    from object_keypoints_tpu.models.keypoint_net import nhwc_outputs_to_reference
+
+    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)
+    frame = jnp.zeros((1, 511, 511, 3), jnp.bfloat16)
+    variables = model.init({"params": jax.random.key(0)}, frame, train=False)
+
+    @jax.jit
+    def step(frame):
+        return nhwc_outputs_to_reference(model.apply(variables, frame, train=False))
+
+    dt = _time(lambda: step(frame), iters)
+    return {"metric": "valve_single_image_inference", "value": round(1.0 / dt, 2),
+            "unit": "images/s (batch 1, 511x511, bf16)",
+            "latency_ms": round(dt * 1000, 3)}
+
+
+def bench_stereo_triangulation(iters):
+    """Config 2: the full stereo 2D->3D lift on real calibration."""
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.geometry import (
+        FisheyeCamera, StereoCamera, linalg, load_calibration_params,
+    )
+    from object_keypoints_tpu.geometry.stereo import triangulate_pixels
+
+    params = load_calibration_params("config/calibration.yaml")
+    left = FisheyeCamera(params["K"], params["D"], params["image_size"])
+    right = FisheyeCamera(params["Kp"], params["Dp"], params["image_size"])
+    rig = StereoCamera(left, right, params["T_RL"])
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-0.4, -0.3, 0.7], [0.4, 0.3, 2.0], size=(256, 3))
+    p_l = left.project(pts)
+    p_r = right.project(np.asarray(linalg.transform_points(rig.T_RL, pts)))
+
+    args = [jnp.asarray(a, jnp.float32) for a in (
+        p_l, p_r, left.K, left.D, right.K, right.D, rig.T_RL, rig.F)]
+
+    import jax
+
+    f = jax.jit(lambda a, b: triangulate_pixels(a, b, *args[2:]))
+    dt = _time(lambda: f(args[0], args[1]), iters)
+    recon = np.asarray(f(args[0], args[1]))
+    err = float(np.linalg.norm(recon - pts, axis=1).max())
+    return {"metric": "stereo_triangulation", "value": round(256 / dt, 1),
+            "unit": "point-pairs/s (undistort+correct+DLT)",
+            "max_err_m": round(err, 6)}
+
+
+def bench_overfit(iters):
+    """Config 3: heatmap-loss training speed + convergence check."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.models import KeypointNet
+    from object_keypoints_tpu.training.trainer import (
+        create_train_state, make_optimizer, train_step,
+    )
+
+    model = KeypointNet(heatmaps_out=3, dropout=0.0, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    heat = np.zeros((4, 64, 64, 3), np.float32)
+    heat[:, 20, 20, 0] = 1.0
+    heat[:, 30, 40, 1] = 1.0
+    batch = {
+        "frame": jnp.asarray(rng.normal(size=(4, 511, 511, 3)), jnp.bfloat16),
+        "heatmaps": jnp.asarray(heat),
+        "depth": jnp.asarray(heat * 1.5),
+        "centers": jnp.zeros((4, 64, 64, 2, 2), jnp.float32),
+    }
+    variables = model.init({"params": jax.random.key(0)}, batch["frame"], train=False)
+    state = create_train_state(model, variables, make_optimizer(lr=1e-3,
+                                                                plateau_patience=10_000))
+    key = jax.random.key(1)
+    state, first = train_step(model, state, batch, key)
+    first_loss = float(first["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(model, state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"metric": "overfit_train_step", "value": round(1.0 / dt, 2),
+            "unit": "steps/s (batch 4, 511x511, bf16, full model)",
+            "loss_ratio": round(float(metrics["loss"]) / first_loss, 4)}
+
+
+def bench_cups_association(iters):
+    """Config 4: multi-object decode + association on cups topology."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.data import targets as T
+    from object_keypoints_tpu.geometry import FisheyeCamera, load_calibration_params
+    from object_keypoints_tpu.pipeline.decode_jit import CameraArrays, decode_objects_batch
+
+    params = load_calibration_params("config/calibration.yaml")
+    offset = np.array([(511.0 / 720.0 * 1280.0 - 511.0) / 2.0, 0.0])
+    cam = (FisheyeCamera(params["K"], params["D"], params["image_size"])
+           .scale(511.0 / 720.0).cut(offset).scale(64.0 / 511.0))
+    camera = CameraArrays(
+        K=jnp.asarray(cam.K, jnp.float32), D=jnp.asarray(cam.D, jnp.float32),
+        Kinv=jnp.asarray(cam.Kinv, jnp.float32),
+        image_size=jnp.asarray(cam.image_size, jnp.float32),
+    )
+
+    # three cups, analytic targets
+    config = (1, 1, 1, 1)  # center + cups.json [1,1,1]
+    world = np.array([
+        [0.0, 0.0, 1.0], [0.05, 0.0, 1.0], [-0.05, 0.05, 1.0], [0.0, -0.05, 1.0],
+        [-0.4, 0.0, 1.2], [-0.35, 0.0, 1.2], [-0.45, 0.05, 1.2], [-0.4, -0.05, 1.2],
+    ])
+    pts = cam.project(world).reshape(2, 4, 2)
+    p_C = world.reshape(2, 4, 3)
+    heat, depth, centers = T.render_all_targets(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(p_C, jnp.float32),
+        jnp.ones((2, 4), bool), config, (64, 64),
+    )
+    B = 32
+    heat_b = jnp.broadcast_to(heat[None], (B, *heat.shape))
+    depth_b = jnp.broadcast_to(depth[None], (B, *depth.shape))
+    centers_b = jnp.broadcast_to(centers[None], (B, *centers.shape))
+
+    f = lambda: decode_objects_batch(heat_b, depth_b, centers_b, camera,
+                                     (1, 1, 1), max_peaks=16)
+    dt = _time(f, iters)
+    decoded = f()
+    n_obj = int(np.asarray(decoded.center_valid[0]).sum())
+    return {"metric": "cups_association_decode", "value": round(B / dt, 1),
+            "unit": "frames/s (decode+assoc+3D, 2 objects, batch 32)",
+            "objects_found": n_obj}
+
+
+def bench_video_eval(quick):
+    """Config 5: full eval path over an encoded synthetic sequence."""
+    from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
+    from object_keypoints_tpu.evaluation import Sequence, evaluate_sequence
+    from object_keypoints_tpu.pipeline import ObjectKeypointPipeline
+
+    n_frames = 8 if quick else 30
+    with tempfile.TemporaryDirectory() as tmp:
+        seq_dir = pathlib.Path(tmp) / "seq"
+        write_synthetic_sequence(str(seq_dir), "config/calibration.yaml", [1, 3],
+                                 n_frames=n_frames, seed=5)
+        config = {"keypoint_config": [1, 3]}
+        sequence = Sequence(str(seq_dir), config)
+        pipeline = ObjectKeypointPipeline((64, 64), sequence.keypoints, config)
+        t0 = time.perf_counter()
+        results = evaluate_sequence(sequence, pipeline, ground_truth=True)
+        dt = time.perf_counter() - t0
+        summary = results.summary()
+    return {"metric": "video_sequence_eval", "value": round(n_frames / dt, 2),
+            "unit": "frames/s (dataset decode + GT pipeline + matching)",
+            "mean_err_cm": round(summary.get("mean_cm", float("nan")), 3)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    flags = parser.parse_args()
+    iters = 5 if flags.quick else 20
+
+    for fn in (
+        lambda: bench_single_image_inference(iters),
+        lambda: bench_stereo_triangulation(iters),
+        lambda: bench_overfit(3 if flags.quick else 10),
+        lambda: bench_cups_association(iters),
+        lambda: bench_video_eval(flags.quick),
+    ):
+        print(json.dumps(fn()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

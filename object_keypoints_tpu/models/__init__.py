@@ -10,7 +10,18 @@ from object_keypoints_tpu.models.blocks import (
     FireModule,
     torch_conv_kernel_init,
 )
-from object_keypoints_tpu.models.hourglass import FireHourglass, HourglassStack
+from object_keypoints_tpu.models.hourglass import (
+    FireHourglass,
+    HourglassStack,
+    ResidualHourglass,
+)
+from object_keypoints_tpu.models.cornernet import (
+    CornerNetModel,
+    CornerPoolBlock,
+    cornernet,
+    cornernet_saccade,
+    cornernet_squeeze,
+)
 from object_keypoints_tpu.models.keypoint_net import (
     KeypointNet,
     KeypointNetOutputs,
@@ -25,6 +36,12 @@ __all__ = [
     "torch_conv_kernel_init",
     "FireHourglass",
     "HourglassStack",
+    "ResidualHourglass",
+    "CornerNetModel",
+    "CornerPoolBlock",
+    "cornernet",
+    "cornernet_saccade",
+    "cornernet_squeeze",
     "KeypointNet",
     "KeypointNetOutputs",
     "init_keypoint_net",

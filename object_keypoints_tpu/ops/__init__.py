@@ -11,6 +11,23 @@ from object_keypoints_tpu.ops.associate import (
     resolve_capacity,
     greedy_epipolar_match,
 )
+from object_keypoints_tpu.ops.corner_pool import (
+    top_pool,
+    bottom_pool,
+    left_pool,
+    right_pool,
+    TopPool,
+    BottomPool,
+    LeftPool,
+    RightPool,
+)
+from object_keypoints_tpu.ops.nms import (
+    bbox_overlaps,
+    nms_mask,
+    soft_nms,
+    soft_nms_merge,
+)
+from object_keypoints_tpu.ops.detection_decode import decode_detections, topk_corners
 
 __all__ = [
     "box_filter",
@@ -20,4 +37,18 @@ __all__ = [
     "masked_kmeans",
     "resolve_capacity",
     "greedy_epipolar_match",
+    "top_pool",
+    "bottom_pool",
+    "left_pool",
+    "right_pool",
+    "TopPool",
+    "BottomPool",
+    "LeftPool",
+    "RightPool",
+    "bbox_overlaps",
+    "nms_mask",
+    "soft_nms",
+    "soft_nms_merge",
+    "decode_detections",
+    "topk_corners",
 ]

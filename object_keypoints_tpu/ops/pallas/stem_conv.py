@@ -44,11 +44,12 @@ def space_to_depth(x):
 
 
 def rearrange_stem_kernel(w7: np.ndarray) -> np.ndarray:
-    """(7, 7, C_in, C_out) conv kernel -> (16 * 4*C_in, C_out) tap matrix.
+    """(7, 7, C_in, C_out) conv kernel -> (4, 4 * 4*C_in, C_out) v-grouped
+    tap matrices.
 
-    Row layout matches the kernel's tap concatenation: taps enumerated
-    (u, v) row-major over the 4x4 s2d neighborhood, each contributing the
-    4*C_in s2d channels (slot-major: slot = 2p + q, then C_in)."""
+    For each width shift v, the 4 row-shift taps u are stacked u-major along
+    K, each contributing the 4*C_in s2d channels (slot-major: slot = 2p + q,
+    then C_in) — matching the kernel's per-v lane concatenation."""
     w7 = np.asarray(w7)
     assert w7.shape[:2] == (7, 7)
     c_in, c_out = w7.shape[2], w7.shape[3]
@@ -62,7 +63,14 @@ def rearrange_stem_kernel(w7: np.ndarray) -> np.ndarray:
                     if 0 <= dy < 7 and 0 <= dx < 7:
                         slot = 2 * p + q
                         taps[u + 2, v + 2, slot * c_in : (slot + 1) * c_in] = w7[dy, dx]
-    return taps.reshape(16 * 4 * c_in, c_out)
+    # group by width-shift v: out[v] stacks the 4 row-shift taps u-major,
+    # matching the kernel's per-v lane concatenation
+    s2d_c = 4 * c_in
+    grouped = np.zeros((4, 4 * s2d_c, c_out), w7.dtype)
+    for v in range(4):
+        for u in range(4):
+            grouped[v, u * s2d_c : (u + 1) * s2d_c] = taps[u, v]
+    return grouped
 
 
 def _stem_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
@@ -72,14 +80,17 @@ def _stem_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     x_ref: (1, 1, rows+3, WP, c_in) pre-haloed strip; out_ref:
     (1, rows, width, c_out)."""
     strip = x_ref[0, 0]
-    # accumulate the 16 tap matmuls (Mosaic cannot concatenate lane-offset
-    # 12-channel vectors into one 192-wide operand, so K stays c_in per dot)
+    # Mosaic vreg layouts: width lives in sublanes, channels in lanes. A
+    # lane-concat needs equal sublane offsets, so taps are grouped by the
+    # width shift v (equal offsets within a group) -> 4 dots of K = 4*c_in
+    # instead of 16 MXU-starved K=c_in dots.
     acc = jnp.zeros((rows, width, c_out), jnp.float32)
-    for t in range(16):
-        u, v = t // 4, t % 4
-        tap = strip[u : u + rows, v : v + width, :]
+    for v in range(4):
+        col = jnp.concatenate(
+            [strip[u : u + rows, v : v + width, :] for u in range(4)], axis=-1
+        )  # (rows, width, 4 * c_in)
         acc += jax.lax.dot_general(
-            tap, w_ref[t],
+            col, w_ref[v],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -92,8 +103,8 @@ def fused_stem_conv(x_s2d, w_taps, scale, bias, rows_per_strip: int = 16,
                     interpret: bool = False):
     """s2d input (N, H, W, 12) -> (N, H, W, 128) fused conv + BN + ReLU.
 
-    w_taps: (16*12, 128) from rearrange_stem_kernel; scale/bias: (128,)
-    folded batch-norm parameters.
+    w_taps: (4, 48, 128) v-grouped from rearrange_stem_kernel; scale/bias:
+    (128,) folded batch-norm parameters.
 
     The halo'd strips are materialized once in XLA (a cheap gather on the
     tiny 12-channel input) so the Pallas grid sees plain non-overlapping
@@ -108,7 +119,7 @@ def fused_stem_conv(x_s2d, w_taps, scale, bias, rows_per_strip: int = 16,
     xp = jnp.pad(x_s2d, ((0, 0), (2, 1), (2, wp - w - 2), (0, 0)))
     # (N, strips, rows+3, WP, c_in) haloed strips
     xh = jnp.stack([xp[:, k * rows : k * rows + rows + 3] for k in range(strips)], axis=1)
-    w3 = w_taps.reshape(16, c_in, c_out)
+    w3 = w_taps  # (4, 4*c_in, c_out), v-grouped
 
     kernel = functools.partial(
         _stem_kernel, rows=rows, width=w, c_in=c_in, c_out=c_out
@@ -123,7 +134,7 @@ def fused_stem_conv(x_s2d, w_taps, scale, bias, rows_per_strip: int = 16,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (16, c_in, c_out), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+                (4, 4 * c_in, c_out), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, c_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
