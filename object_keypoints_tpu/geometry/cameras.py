@@ -279,6 +279,22 @@ def _undistort_jit(uv, K, D, P, model):
     return radtan_undistort_points(uv, K, D, P)
 
 
+def _pad_pow2(points, feature_dims: int = 1):
+    """Pad the leading point count to a power of two so the jitted camera
+    kernels see a small set of stable shapes (per-frame detection counts
+    vary; unpadded they force a recompile per new count)."""
+    points = np.asarray(points)
+    n = points.shape[0]
+    if n == 0:
+        return points, 0
+    m = 1 << (n - 1).bit_length()
+    if m == n:
+        return points, n
+    pad = np.zeros((m - n, *points.shape[1:]), points.dtype)
+    pad[..., -1] = 1.0 if points.ndim > 1 and points.shape[-1] == 3 else pad[..., -1]
+    return np.concatenate([points, pad], axis=0), n
+
+
 @jax.jit
 def _unproject_jit(uv, z, Kinv):
     return unproject(uv, z, Kinv)
@@ -335,14 +351,14 @@ class RadTanPinholeCamera(PinholeCamera):
     distortion_model = "radtan"
 
     def project(self, X, T_CW=np.eye(4)):
-        return np.asarray(
-            _project_jit(jnp.asarray(X), jnp.asarray(T_CW), jnp.asarray(self.K), jnp.asarray(self.D), "radtan")
-        )
+        Xp, n = _pad_pow2(X)
+        out = _project_jit(jnp.asarray(Xp), jnp.asarray(T_CW), jnp.asarray(self.K), jnp.asarray(self.D), "radtan")
+        return np.asarray(out)[:n]
 
     def undistort(self, xy):
-        return np.asarray(
-            _undistort_jit(jnp.asarray(xy), jnp.asarray(self.K), jnp.asarray(self.D), jnp.asarray(self.K), "radtan")
-        )
+        xyp, n = _pad_pow2(xy)
+        out = _undistort_jit(jnp.asarray(xyp), jnp.asarray(self.K), jnp.asarray(self.D), jnp.asarray(self.K), "radtan")
+        return np.asarray(out)[:n]
 
 
 class FisheyeCamera(PinholeCamera):
@@ -351,14 +367,14 @@ class FisheyeCamera(PinholeCamera):
     distortion_model = "equidistant"
 
     def project(self, X, T_CW=np.eye(4)):
-        return np.asarray(
-            _project_jit(jnp.asarray(X), jnp.asarray(T_CW), jnp.asarray(self.K), jnp.asarray(self.D), "equidistant")
-        )
+        Xp, n = _pad_pow2(X)
+        out = _project_jit(jnp.asarray(Xp), jnp.asarray(T_CW), jnp.asarray(self.K), jnp.asarray(self.D), "equidistant")
+        return np.asarray(out)[:n]
 
     def undistort(self, xy):
-        return np.asarray(
-            _undistort_jit(jnp.asarray(xy), jnp.asarray(self.K), jnp.asarray(self.D), jnp.asarray(self.K), "equidistant")
-        )
+        xyp, n = _pad_pow2(xy)
+        out = _undistort_jit(jnp.asarray(xyp), jnp.asarray(self.K), jnp.asarray(self.D), jnp.asarray(self.K), "equidistant")
+        return np.asarray(out)[:n]
 
 
 class StereoCamera:
@@ -380,6 +396,8 @@ class StereoCamera:
     def triangulate(self, left_keypoints, right_keypoints):
         from object_keypoints_tpu.geometry import stereo as stereo_ops
 
+        left_keypoints, n = _pad_pow2(np.asarray(left_keypoints, np.float64))
+        right_keypoints, _ = _pad_pow2(np.asarray(right_keypoints, np.float64))
         out = stereo_ops.triangulate_pixels(
             jnp.asarray(left_keypoints, dtype=jnp.float32),
             jnp.asarray(right_keypoints, dtype=jnp.float32),
@@ -390,7 +408,7 @@ class StereoCamera:
             jnp.asarray(self.T_RL, dtype=jnp.float32),
             jnp.asarray(self.F, dtype=jnp.float32),
         )
-        return np.asarray(out)
+        return np.asarray(out)[:n]
 
     @classmethod
     def from_file(cls, calibration_file):

@@ -118,7 +118,10 @@ class ObjectExtraction:
             return []
         center_points = np.stack(keypoints[0])
         T = len(keypoints) - 1
-        M = max([len(k) for k in keypoints] + [1])
+        # fixed capacity: rounding up to a power of two keeps the jitted
+        # assignment's shapes stable across frames (no per-frame recompiles)
+        needed = max([len(k) for k in keypoints] + [1])
+        M = 1 << (needed - 1).bit_length()
         pts = np.zeros((T, M, 2), np.float32)
         conf = np.zeros((T, M), np.float32)
         valid = np.zeros((T, M), bool)
@@ -128,10 +131,17 @@ class ObjectExtraction:
                 conf[t, m] = confidence[1 + t][m]
                 valid[t, m] = True
 
+        # pad center count to a power of two as well (stable jit shapes)
+        n_centers = len(center_points)
+        C = 1 << (n_centers - 1).bit_length()
+        centers_pad = np.zeros((C, 2), np.float32)
+        centers_pad[:n_centers] = center_points
+        center_valid = np.arange(C) < n_centers
+
         assignment, predicted_centers = assoc_ops.assign_to_centers(
             jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(centers, dtype=jnp.float32),
-            jnp.asarray(center_points, dtype=jnp.float32),
-            jnp.ones(len(center_points), bool), reject_distance=self.reject_distance,
+            jnp.asarray(centers_pad), jnp.asarray(center_valid),
+            reject_distance=self.reject_distance,
         )
         assignment = np.asarray(assignment)
         predicted_centers = np.asarray(predicted_centers)
@@ -167,9 +177,15 @@ class ObjectExtraction:
                         if cap == 1:
                             points = points[confidences.argmax(axis=0)][None]
                         else:
+                            n = len(points)
+                            m = 1 << (n - 1).bit_length()
+                            pts_pad = np.zeros((m, 2), np.float32)
+                            pts_pad[:n] = points
+                            conf_pad = np.zeros((m,), np.float32)
+                            conf_pad[:n] = confidences
                             centers_out = assoc_ops.masked_kmeans(
-                                jnp.asarray(points), jnp.ones(len(points), bool),
-                                jnp.asarray(confidences), cap,
+                                jnp.asarray(pts_pad), jnp.asarray(np.arange(m) < n),
+                                jnp.asarray(conf_pad), cap,
                             )
                             points = np.asarray(centers_out)
                     obj["heatmap_points"][t] = points

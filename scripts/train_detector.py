@@ -41,6 +41,13 @@ def batch_stream(dataset, db_config, batch_size, workers):
     import cv2
     import jax.numpy as jnp
 
+    from object_keypoints_tpu.data.detection_augment import (
+        clip_detections,
+        color_jitter,
+        lighting,
+        random_crop,
+        resize_image,
+    )
     from object_keypoints_tpu.data.detection_targets import render_corner_targets
     from object_keypoints_tpu.inference.detector import COCO_MEAN, COCO_STD
 
@@ -58,11 +65,25 @@ def batch_stream(dataset, db_config, batch_size, workers):
                 ind = int(rng.integers(len(dataset)))
                 img = cv2.imread(dataset.image_path(ind))
                 dets = dataset.detections(ind).copy()
-                h, w = img.shape[:2]
-                img = cv2.resize(img, (input_size[1], input_size[0]))
-                dets[:, 0:4:2] *= input_size[1] / w
-                dets[:, 1:4:2] *= input_size[0] / h
-                img = ((img[..., ::-1].astype(np.float32) / 255.0) - COCO_MEAN) / COCO_STD
+                # sampler pipeline (sample/cornernet.py:76-99)
+                if db_config["rand_crop"]:
+                    img, dets = random_crop(
+                        img, dets, db_config["rand_scales"], input_size,
+                        border=db_config["border"], rng=rng,
+                    )
+                img, dets = resize_image(img, dets, input_size)
+                dets = clip_detections(img, dets)
+                if rng.uniform() > 0.5:  # random horizontal flip
+                    img = np.ascontiguousarray(img[:, ::-1])
+                    if len(dets):
+                        width = img.shape[1]
+                        dets[:, [0, 2]] = width - dets[:, [2, 0]] - 1
+                img = img[..., ::-1].astype(np.float32) / 255.0  # bgr -> rgb
+                if db_config["rand_color"]:
+                    img = color_jitter(img, rng)
+                    if db_config["lighting"]:
+                        img = lighting(img, rng)
+                img = (img - COCO_MEAN) / COCO_STD
                 images.append(img)
                 targets.append(
                     render_corner_targets(
