@@ -77,6 +77,9 @@ def build():
 
 
 def main():
+    from object_keypoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     step, frames = build()
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.normal(size=frames.shape), jnp.bfloat16)

@@ -120,8 +120,11 @@ def bench_overfit(iters):
     state = create_train_state(model, variables, make_optimizer(lr=1e-3,
                                                                 plateau_patience=10_000))
     key = jax.random.key(1)
+    # two warmup steps: donation aliasing makes the second call a distinct
+    # compile variant; steady state starts at step 2
     state, first = train_step(model, state, batch, key)
     first_loss = float(first["loss"])
+    state, _ = train_step(model, state, batch, key)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(model, state, batch, key)
@@ -205,6 +208,9 @@ def bench_video_eval(quick):
 
 
 def main():
+    from object_keypoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     flags = parser.parse_args()

@@ -83,6 +83,9 @@ def build_model(config: TrainConfig) -> KeypointNet:
 
 def train(config: TrainConfig) -> dict:
     """Run training; returns {'best_val_loss', 'steps', 'checkpoint_dir'}."""
+    from object_keypoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # data-parallel over the largest device subset the batch size divides
     devices = jax.devices()
     n_data = max(d for d in range(1, len(devices) + 1) if config.batch_size % d == 0)
