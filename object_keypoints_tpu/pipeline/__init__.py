@@ -17,6 +17,12 @@ from object_keypoints_tpu.pipeline.decode_jit import (
     decode_objects,
     decode_objects_batch,
 )
+from object_keypoints_tpu.pipeline.stereo_jit import (
+    StereoDecoded,
+    StereoKeypointPipeline,
+    StereoRigArrays,
+    stereo_decode_triangulate,
+)
 
 __all__ = [
     "InferenceComponent",
@@ -31,4 +37,8 @@ __all__ = [
     "DecodedObjects",
     "decode_objects",
     "decode_objects_batch",
+    "StereoDecoded",
+    "StereoKeypointPipeline",
+    "StereoRigArrays",
+    "stereo_decode_triangulate",
 ]
