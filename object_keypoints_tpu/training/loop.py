@@ -56,6 +56,7 @@ class TrainConfig:
     out_dir: str = "runs/keypoints"
     resume: Optional[str] = None
     log_every: int = 10
+    ckpt_every: int = 1  # checkpoint every N epochs (orbax IO is ~30 s/save here)
     # model-size overrides (full CornerNet-Squeeze geometry by default)
     model_overrides: Optional[dict] = None
 
@@ -171,8 +172,9 @@ def train(config: TrainConfig) -> dict:
         logger.log(step, mean_val)
         print_metrics(step, {"val_loss": mean_val["val_loss"]}, extra=f"epoch={epoch} [val]")
 
-        ckpt.save_last(state, step)
-        ckpt.save_if_best(state, step, mean_val["val_loss"])
+        if (epoch + 1) % config.ckpt_every == 0 or epoch == config.epochs - 1:
+            ckpt.save_last(state, step)
+            ckpt.save_if_best(state, step, mean_val["val_loss"])
 
     # serving artifact from the final params (package_model.py analog)
     export_dir = os.path.join(config.out_dir, "export")
