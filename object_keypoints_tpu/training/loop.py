@@ -139,6 +139,7 @@ def train(config: TrainConfig) -> dict:
             yield {k: b[k] for k in ("frame", "heatmaps", "depth", "centers")}
 
     for epoch in range(config.epochs):
+        epoch_steps = 0
         for batch in device_prefetch(_train_batches(), sharding=sharding):
             if config.bf16:
                 batch["frame"] = batch["frame"].astype(jnp.bfloat16)
@@ -147,12 +148,13 @@ def train(config: TrainConfig) -> dict:
                 depth_weight=config.depth_weight, center_weight=config.center_weight,
             )
             step += 1
+            epoch_steps += 1
             if step % config.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["lr_scale"] = float(state.lr_scale)
                 logger.log(step, host)
                 print_metrics(step, {"loss": host["loss"]}, extra=f"epoch={epoch}")
-            if config.steps_per_epoch and step % config.steps_per_epoch == 0:
+            if config.steps_per_epoch and epoch_steps >= config.steps_per_epoch:
                 break
 
         # validation epoch (scripts/train.py:77-93 metric names)
