@@ -57,6 +57,12 @@ class TrainConfig:
     resume: Optional[str] = None
     log_every: int = 10
     ckpt_every: int = 1  # checkpoint every N epochs (orbax IO is ~30 s/save here)
+    # plateau schedule: the reference steps ReduceLROnPlateau once per EPOCH
+    # on the epoch-mean train loss (scripts/train.py:95-104). The optax
+    # transform sees per-step values, so it must average ~an epoch of steps
+    # per comparison; patience then counts epochs, like the reference.
+    plateau_patience: int = 10
+    plateau_accumulation: int = 50
     # model-size overrides (full CornerNet-Squeeze geometry by default)
     model_overrides: Optional[dict] = None
 
@@ -105,7 +111,11 @@ def train(config: TrainConfig) -> dict:
     variables = model.init(
         {"params": init_rng}, jnp.zeros(frame_shape, model.dtype), train=False
     )
-    tx = make_optimizer(lr=config.lr, weight_decay=config.weight_decay)
+    tx = make_optimizer(
+        lr=config.lr, weight_decay=config.weight_decay,
+        plateau_patience=config.plateau_patience,
+        plateau_accumulation=config.plateau_accumulation,
+    )
     state = create_train_state(model, variables, tx)
 
     hparams = dataclasses.asdict(config)
