@@ -63,6 +63,10 @@ class TrainConfig:
     # per comparison; patience then counts epochs, like the reference.
     plateau_patience: int = 10
     plateau_accumulation: int = 50
+    # reference --resume semantics: reload weights but build a FRESH
+    # optimizer/schedule (Lightning re-creates the optimizer on fit);
+    # set False to continue the optimizer state exactly.
+    resume_fresh_optimizer: bool = True
     # model-size overrides (full CornerNet-Squeeze geometry by default)
     model_overrides: Optional[dict] = None
 
@@ -129,9 +133,12 @@ def train(config: TrainConfig) -> dict:
         )
         state = state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"], jnp.int32),
         )
+        if config.resume_fresh_optimizer:
+            state = state.replace(opt_state=tx.init(state.params))
+        else:
+            state = state.replace(opt_state=restored["opt_state"])
 
     logger = MetricsLogger(config.out_dir)
     step = int(state.step)
