@@ -144,6 +144,30 @@ def focal_loss(preds: Sequence[jax.Array], gt: jax.Array) -> jax.Array:
     return total
 
 
+def focal_loss_masked(preds: Sequence[jax.Array], gt: jax.Array,
+                      valid: jax.Array) -> jax.Array:
+    """Validity-masked penalty-reduced focal loss (losses.py:46-71), used by
+    the saccade trainer where crops carry per-pixel validity."""
+    pos = gt == 1.0
+    neg = ~pos
+    neg_weights = jnp.where(neg, (1.0 - gt) ** 4, 0.0)
+    num_pos = jnp.sum(pos.astype(gt.dtype))
+    validf = valid.astype(gt.dtype)
+
+    total = 0.0
+    for p in preds:
+        pos_loss = jnp.sum(
+            jnp.where(pos, jnp.log(p) * (1.0 - p) ** 2 * validf, 0.0)
+        )
+        neg_loss = jnp.sum(
+            jnp.where(neg, jnp.log(1.0 - p) * p**2 * neg_weights * validf, 0.0)
+        )
+        total = total - jnp.where(
+            num_pos > 0, (pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0), neg_loss
+        )
+    return total
+
+
 def ae_loss(tag0: jax.Array, tag1: jax.Array, mask: jax.Array):
     """Associative-embedding pull/push on paired corner tags
     (losses.py:9-33). tag0/tag1: (N, M) gathered tag values; mask: (N, M)."""
@@ -203,6 +227,52 @@ def cornernet_loss(outs, targets, pull_weight=1e-1, push_weight=1e-1, off_weight
         focal
         + pull_weight * pull_total
         + push_weight * push_total
+        + off_weight * off_total
+    ) / max(len(tl_heats), 1)
+    return loss
+
+
+def cornernet_saccade_loss(outs, targets, pull_weight=1e-1, push_weight=1e-1,
+                           off_weight=1.0):
+    """CornerNet-Saccade loss (losses.py:97-165): the CornerNet terms with
+    the validity-masked focal variant plus a per-scale attention focal term.
+
+    outs: (tl_heats, br_heats, tl_tags, br_tags, tl_offs, br_offs, atts) —
+    atts is per-stack lists of per-scale attention logits (N, h, w, 1).
+    targets: (gt_tl_heat, gt_br_heat, gt_mask, gt_tl_off, gt_br_off,
+    gt_tl_valid, gt_br_valid, gt_atts) with gt_atts a per-scale list.
+    """
+    tl_heats, br_heats, tl_tags, br_tags, tl_offs, br_offs, atts = outs
+    (gt_tl_heat, gt_br_heat, gt_mask, gt_tl_off, gt_br_off,
+     gt_tl_valid, gt_br_valid, gt_atts) = targets
+
+    focal = focal_loss_masked(
+        [_clamped_sigmoid(t) for t in tl_heats], gt_tl_heat, gt_tl_valid
+    )
+    focal += focal_loss_masked(
+        [_clamped_sigmoid(b) for b in br_heats], gt_br_heat, gt_br_valid
+    )
+
+    # attention focal per scale, averaged over stacks (losses.py:138-143)
+    att_total = 0.0
+    n_scales = len(gt_atts)
+    for scale in range(n_scales):
+        scale_preds = [_clamped_sigmoid(stack_atts[scale]) for stack_atts in atts]
+        att_total += focal_loss(scale_preds, gt_atts[scale]) / max(len(scale_preds), 1)
+
+    pull_total, push_total = 0.0, 0.0
+    for tl_tag, br_tag in zip(tl_tags, br_tags):
+        pull, push = ae_loss(tl_tag, br_tag, gt_mask)
+        pull_total += pull
+        push_total += push
+
+    off_total = 0.0
+    for tl_off, br_off in zip(tl_offs, br_offs):
+        off_total += offset_loss(tl_off, gt_tl_off, gt_mask)
+        off_total += offset_loss(br_off, gt_br_off, gt_mask)
+
+    loss = (
+        focal + att_total + pull_weight * pull_total + push_weight * push_total
         + off_weight * off_total
     ) / max(len(tl_heats), 1)
     return loss

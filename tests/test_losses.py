@@ -182,3 +182,44 @@ class TestCornerNetLosses:
         pull, push = ae_loss(tags, tags, mask)
         np.testing.assert_allclose(float(pull), 0.0, atol=1e-6)
         assert float(push) > 0.0  # identical tags repel
+
+
+class TestSaccadeLoss:
+    def test_masked_focal_reduces_to_unmasked(self):
+        rng = np.random.default_rng(5)
+        gt = rng.uniform(size=(1, 4, 4, 2)).astype(np.float32)
+        gt = np.where(gt > 0.9, 1.0, gt * 0.8).astype(np.float32)
+        pred = rng.uniform(0.1, 0.9, size=(1, 4, 4, 2)).astype(np.float32)
+        from object_keypoints_tpu.training.losses import focal_loss_masked
+
+        full = focal_loss_masked([jnp.asarray(pred)], jnp.asarray(gt),
+                                 jnp.ones_like(jnp.asarray(gt)))
+        plain = focal_loss([jnp.asarray(pred)], jnp.asarray(gt))
+        np.testing.assert_allclose(float(full), float(plain), rtol=1e-6)
+        # zero validity kills the positive/negative contributions
+        none = focal_loss_masked([jnp.asarray(pred)], jnp.asarray(gt),
+                                 jnp.zeros_like(jnp.asarray(gt)))
+        np.testing.assert_allclose(float(none), 0.0, atol=1e-6)
+
+    def test_saccade_loss_runs_and_is_finite(self):
+        from object_keypoints_tpu.training.losses import cornernet_saccade_loss
+
+        rng = np.random.default_rng(6)
+        n, h, w, c, m = 1, 8, 8, 2, 4
+        heats = [jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))]
+        gt_heat = jnp.asarray(
+            np.where(rng.uniform(size=(n, h, w, c)) > 0.95, 1.0, 0.3).astype(np.float32)
+        )
+        tags = [jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))]
+        offs = [jnp.asarray(rng.normal(size=(n, m, 2)).astype(np.float32))]
+        mask = jnp.asarray(np.array([[1, 1, 0, 0]], bool))
+        valid = jnp.ones((n, h, w, c))
+        atts = [[jnp.asarray(rng.normal(size=(n, 4, 4, 1)).astype(np.float32))]]
+        gt_atts = [jnp.asarray(
+            np.where(rng.uniform(size=(n, 4, 4, 1)) > 0.9, 1.0, 0.0).astype(np.float32)
+        )]
+        loss = cornernet_saccade_loss(
+            (heats, heats, tags, tags, offs, offs, atts),
+            (gt_heat, gt_heat, mask, offs[0], offs[0], valid, valid, gt_atts),
+        )
+        assert np.isfinite(float(loss))
