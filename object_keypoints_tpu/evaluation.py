@@ -174,6 +174,74 @@ class Results:
         return s
 
 
+def decoded_to_objects(decoded, frame_index: int, keypoint_config) -> List[dict]:
+    """Convert one frame of the fixed-shape DecodedObjects batch into the
+    reference's list-of-dicts (pipeline.py:186-199 output contract)."""
+    center_valid = np.asarray(decoded.center_valid[frame_index])
+    centers = np.asarray(decoded.center_points[frame_index])
+    center_p3d = np.asarray(decoded.center_p3d[frame_index])
+    kps = np.asarray(decoded.keypoints[frame_index])
+    kp_valid = np.asarray(decoded.keypoints_valid[frame_index])
+    kp_p3d = np.asarray(decoded.keypoints_p3d[frame_index])
+
+    objects = []
+    for j in np.nonzero(center_valid)[0]:
+        keypoints = [centers[j][None]]
+        p_C = [center_p3d[j][None]]
+        for t, cap in enumerate(keypoint_config):
+            sel = kp_valid[j, t, :cap]
+            keypoints.append(kps[j, t, :cap][sel])
+            p_C.append(kp_p3d[j, t, :cap][sel] if sel.any() else None)
+        objects.append({"p_centers": [], "keypoints": keypoints, "p_C": p_C})
+    return objects
+
+
+def evaluate_sequence_fast(sequence: Sequence, inference_fn, keypoint_config,
+                           batch_size: int = 8,
+                           max_frames: Optional[int] = None) -> Results:
+    """Batched single-program eval: frames -> model -> decode_objects_batch
+    -> Results. The TPU-native fast path (the per-frame reference path in
+    :func:`evaluate_sequence` exists for exact API parity)."""
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.pipeline.decode_jit import (
+        CameraArrays, decode_objects_batch,
+    )
+
+    cam = sequence.camera_small
+    camera = CameraArrays(
+        K=jnp.asarray(cam.K, jnp.float32), D=jnp.asarray(cam.D, jnp.float32),
+        Kinv=jnp.asarray(cam.Kinv, jnp.float32),
+        image_size=jnp.asarray(cam.image_size, jnp.float32),
+    )
+    config = tuple(keypoint_config["keypoint_config"])
+    results = Results()
+    results.set_calibration(cam)
+
+    frames, poses = [], []
+    for i, example in enumerate(sequence.dataset):
+        if max_frames is not None and i >= max_frames:
+            break
+        frames.append(example["frame"])
+        poses.append(example["T_WC"])
+
+    for start in range(0, len(frames), batch_size):
+        chunk = frames[start : start + batch_size]
+        # keep the jit shape stable: pad the tail chunk up to batch_size
+        pad = batch_size - len(chunk)
+        batch = np.stack(chunk + [chunk[-1]] * pad)
+        nchw = np.transpose(batch, (0, 3, 1, 2))
+        heat, depth, centers = inference_fn(jnp.asarray(nchw))
+        decoded = decode_objects_batch(
+            jnp.asarray(heat), jnp.asarray(depth), jnp.asarray(centers),
+            camera, config, model=cam.distortion_model, max_peaks=16,
+        )
+        for k in range(len(chunk)):
+            objects = decoded_to_objects(decoded, k, config)
+            results.add(poses[start + k], objects, sequence.world_points)
+    return results
+
+
 def evaluate_sequence(sequence: Sequence, pipeline, ground_truth: bool = False,
                       max_frames: Optional[int] = None) -> Results:
     """Play a sequence through a pipeline and accumulate Results

@@ -34,6 +34,9 @@ def read_args():
                         help="Project 3D points instead of 2D detections.")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--fast", action="store_true",
+                        help="Batched single-program decode (TPU fast path).")
+    parser.add_argument("--batch", type=int, default=8, help="--fast batch size.")
     return parser.parse_args()
 
 
@@ -91,6 +94,18 @@ def main():
     frame_number = 0
     for seq_path in sequences:
         sequence = Sequence(seq_path, keypoint_config)
+        if flags.fast and not flags.ground_truth:
+            from object_keypoints_tpu.evaluation import evaluate_sequence_fast
+            from object_keypoints_tpu.serving.export import load_inference_fn
+
+            seq_results = evaluate_sequence_fast(
+                sequence, load_inference_fn(flags.model), keypoint_config,
+                batch_size=flags.batch, max_frames=flags.max_frames,
+            )
+            results.gt_keypoints.extend(seq_results.gt_keypoints)
+            results.predicted_keypoints.extend(seq_results.predicted_keypoints)
+            results.set_calibration(sequence.camera_small)
+            continue
         if flags.ground_truth:
             pipeline = ObjectKeypointPipeline(
                 tuple(sequence.prediction_size), sequence.keypoints, keypoint_config

@@ -52,3 +52,34 @@ class TestRosUtils:
             msg = transform_to_message(T, "a", "b", 0.0)
             T2 = message_to_transform(msg)
             np.testing.assert_allclose(T2, T, atol=1e-9)
+
+
+class TestFastEval:
+    def test_fast_path_matches_gt_quality(self, sequence_dir):
+        """The batched fast path driven by an oracle 'inference' (returns
+        the rendered ground-truth maps) must reach the same sub-5cm quality
+        as the reference-API path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from object_keypoints_tpu.evaluation import evaluate_sequence_fast
+
+        config = {"keypoint_config": [1, 3]}
+        sequence = Sequence(sequence_dir, config)
+
+        examples = list(sequence.dataset)
+
+        def oracle(frames_nchw):
+            # look up the matching pre-rendered targets by frame count order
+            n = frames_nchw.shape[0]
+            heat = np.stack([np.transpose(e["heatmaps"], (2, 0, 1)) for e in oracle.queue[:n]])
+            depth = np.stack([np.transpose(e["depth"], (2, 0, 1)) for e in oracle.queue[:n]])
+            centers = np.stack([np.transpose(e["centers"], (2, 3, 0, 1)) for e in oracle.queue[:n]])
+            oracle.queue = oracle.queue[n:]
+            return jnp.asarray(heat), jnp.asarray(depth), jnp.asarray(centers)
+
+        oracle.queue = examples + examples  # padding may re-read the tail
+        results = evaluate_sequence_fast(sequence, oracle, config, batch_size=4)
+        summary = results.summary()
+        assert summary["n_points"] > 0
+        assert summary["mean_cm"] < 5.0, summary
