@@ -12,10 +12,17 @@ Metric: stereo pairs per second, end-to-end (both views fully decoded).
 Baseline: the driver-set north star of 500 stereo frames/sec/chip
 (BASELINE.md) — the reference itself publishes no numbers.
 
+Serving dtype: int8 post-training quantization by default (the production
+serving mode, serving/quantize.py; eligible convs run int8 on the MXU,
+~1.3x over bf16 on this chip). Decoded 3D outputs stay within the 5 mm
+parity gate vs the float path — gated in tests/test_quantize.py every run.
+Set OKT_BENCH_QUANT=0 for the bf16 path, OKT_BENCH_PAIRS=<n> for batch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 
-PAIRS = 16  # stereo pairs per batch (throughput near-saturates here; see memory notes)
+PAIRS = int(os.environ.get("OKT_BENCH_PAIRS", "32"))
+QUANT = os.environ.get("OKT_BENCH_QUANT", "1") != "0"
 WARMUP = 3
 ITERS = 20
 BASELINE_FPS = 500.0
@@ -59,9 +67,24 @@ def build():
 
     keypoint_config = (1, 3)
 
+    if QUANT:
+        from object_keypoints_tpu.serving.quantize import (
+            calibrate_activation_scales,
+            quantized_apply,
+        )
+
+        rng = np.random.default_rng(1)
+        calib = jnp.asarray(rng.normal(size=(4,) + frames.shape[1:]), jnp.bfloat16)
+        scales = calibrate_activation_scales(
+            lambda b: model.apply(variables, b, train=False), [calib]
+        )
+        apply_fn = lambda f: quantized_apply(model, variables, scales, f, train=False)
+    else:
+        apply_fn = lambda f: model.apply(variables, f, train=False)
+
     @jax.jit
     def step(frames):
-        outs = model.apply(variables, frames, train=False)
+        outs = apply_fn(frames)
         heat, depth, centers = nhwc_outputs_to_reference(outs, stack=-1)
         heat = heat.astype(jnp.float32)
         depth = depth.astype(jnp.float32)
@@ -100,7 +123,8 @@ def main():
             {
                 "metric": "stereo_pairs_per_sec_e2e",
                 "value": round(pairs_per_sec, 2),
-                "unit": "stereo pairs/s (1 chip, 511x511, bf16, forward+decode+3D)",
+                "unit": "stereo pairs/s (1 chip, 511x511, %s, forward+decode+3D)"
+                % ("int8-PTQ serve" if QUANT else "bf16"),
                 "vs_baseline": round(pairs_per_sec / BASELINE_FPS, 3),
             }
         )

@@ -1,0 +1,164 @@
+"""Post-training int8 quantization for the serving path.
+
+The reference serves a TorchScript fp16/fp32 trace (scripts/package_model.py:35-42);
+it has no quantized path. This is a TPU-native extra: v5e-class chips run
+int8 MXU contractions ~1.4-1.7x faster than bf16 (measured on this chip:
+218 TOP/s int8 vs 131 TFLOP/s bf16 on 8192^3; 1.36x on the hot 3x3 convs),
+and int8 activations halve HBM traffic on the memory-bound stem.
+
+Design: a Flax *method interceptor* (``nn.intercept_methods``) swaps every
+eligible ``nn.Conv`` for
+
+    x_int8 = clip(round(x / s_act), -127, 127)
+    y_int32 = conv(x_int8, round(kernel / s_w))        # int8 x int8 -> int32 MXU
+    y = y_int32 * (s_act * s_w[out_ch]) (+ bias)       # f32 rescale, cast back
+
+inside the same jit trace — model definitions, training, and the bf16 path
+are untouched. ``s_act`` is a per-conv-input scalar calibrated offline
+(max-abs over calibration batches); ``s_w`` is per-output-channel and
+derived from the captured kernel, so XLA constant-folds the quantized
+weights at compile time. BatchNorm / ReLU / adds stay bf16 and fuse into
+the conv epilogues as before.
+
+Skipped (kept bf16): grouped/depthwise convs (VPU-bound, no MXU win) and
+convs with fewer than ``min_in_features`` input channels (the 3-channel
+stem conv measured 0.96x in int8).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+QUANT_NAME = "quant.json"
+
+
+def _conv_path(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def _is_plain_conv(module, method_name: str) -> bool:
+    return (
+        type(module) is nn.Conv
+        and method_name == "__call__"
+        and module.feature_group_count == 1
+    )
+
+
+def _conv_dims(module: nn.Module, x):
+    """(strides, padding, dilation) normalized for lax.conv_general_dilated."""
+    nd = x.ndim - 2
+    strides = module.strides or 1
+    if isinstance(strides, int):
+        strides = (strides,) * nd
+    padding = module.padding
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * nd
+    dilation = module.kernel_dilation or 1
+    if isinstance(dilation, int):
+        dilation = (dilation,) * nd
+    return tuple(strides), padding, tuple(dilation)
+
+
+@contextlib.contextmanager
+def collect_activation_scales(stats: Dict[str, jax.Array]):
+    """Context: running per-conv-input max-abs is accumulated into ``stats``.
+
+    Values stay on device; ``jax.device_get(stats)`` once at the end.
+    """
+
+    def interceptor(next_fn, args, kwargs, context):
+        if _is_plain_conv(context.module, context.method_name):
+            path = _conv_path(context.module)
+            amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            prev = stats.get(path)
+            stats[path] = amax if prev is None else jnp.maximum(prev, amax)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
+def calibrate_activation_scales(apply_fn: Callable, batches: Iterable) -> Dict[str, float]:
+    """Run ``apply_fn(batch)`` over calibration batches, return per-conv
+    max-abs input scales keyed by flax module path."""
+    stats: Dict[str, jax.Array] = {}
+    with collect_activation_scales(stats):
+        for batch in batches:
+            apply_fn(batch)
+    if any(isinstance(v, jax.core.Tracer) for v in stats.values()):
+        raise RuntimeError(
+            "calibration saw tracers — apply_fn must run eagerly (not under jit)"
+        )
+    return {k: float(v) for k, v in jax.device_get(stats).items()}
+
+
+def make_quantize_interceptor(
+    scales: Dict[str, float],
+    min_in_features: int = 16,
+    skip: Optional[Callable[[str], bool]] = None,
+):
+    """Interceptor replacing eligible convs with calibrated int8 kernels."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if not _is_plain_conv(m, context.method_name):
+            return next_fn(*args, **kwargs)
+        path = _conv_path(m)
+        s_act = scales.get(path)
+        if s_act is None or s_act <= 0.0 or (skip is not None and skip(path)):
+            return next_fn(*args, **kwargs)
+        kernel = m.get_variable("params", "kernel")  # HW I O
+        if kernel is None or kernel.shape[-2] < min_in_features:
+            return next_fn(*args, **kwargs)
+
+        x = args[0]
+        strides, padding, dilation = _conv_dims(m, x)
+        s_in = s_act / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
+        ).astype(jnp.int8)
+
+        w = kernel.astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        s_w = jnp.maximum(s_w, 1e-12)
+        wq = jnp.clip(jnp.round(w / s_w), -127.0, 127.0).astype(jnp.int8)
+
+        y = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            strides,
+            padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_in * s_w)
+        if m.use_bias:
+            y = y + m.get_variable("params", "bias").astype(jnp.float32)
+        out_dtype = m.dtype or x.dtype
+        return y.astype(out_dtype)
+
+    return interceptor
+
+
+@contextlib.contextmanager
+def quantized(scales: Dict[str, float], min_in_features: int = 16,
+              skip: Optional[Callable[[str], bool]] = None):
+    """Context manager: all eligible convs inside run int8."""
+    with nn.intercept_methods(
+        make_quantize_interceptor(scales, min_in_features=min_in_features, skip=skip)
+    ):
+        yield
+
+
+def quantized_apply(model: nn.Module, variables, scales: Dict[str, float], *args,
+                    min_in_features: int = 16, **kwargs):
+    """``model.apply`` with eligible convs running int8 (jit-safe: call
+    inside your own jit, or wrap the returned closure)."""
+    with quantized(scales, min_in_features=min_in_features):
+        return model.apply(variables, *args, **kwargs)

@@ -21,7 +21,48 @@ def read_args():
                         help="Checkpoint directory (containing best/ and hparams.json).")
     parser.add_argument("--out", type=str, required=True, help="Output artifact directory.")
     parser.add_argument("--which", default="best", choices=["best", "last"])
+    parser.add_argument("--quantize", action="store_true",
+                        help="Calibrate and store int8 activation scales with the "
+                             "artifact (TPU serving runs ~1.3x faster; no reference "
+                             "analog — the TorchScript trace is fp16/fp32 only).")
+    parser.add_argument("--calibration-data", type=str, default=None,
+                        help="Directory of encoded sequences to calibrate on "
+                             "(defaults to unit-normal frames).")
+    parser.add_argument("--calibration-frames", type=int, default=16)
     return parser.parse_args()
+
+
+def _calibration_batches(flags, keypoint_config, input_size=511):
+    import numpy as np
+
+    frames = []
+    if flags.calibration_data:
+        import os
+
+        from object_keypoints_tpu.data.scene import SceneDataset
+
+        seqs = sorted(
+            os.path.join(flags.calibration_data, d)
+            for d in os.listdir(flags.calibration_data)
+            if os.path.isdir(os.path.join(flags.calibration_data, d))
+        )
+        for seq in seqs:
+            for example in SceneDataset(
+                seq, {"keypoint_config": keypoint_config}, augment=False
+            ):
+                frames.append(np.asarray(example["frame"], np.float32))
+                if len(frames) >= flags.calibration_frames:
+                    break
+            if len(frames) >= flags.calibration_frames:
+                break
+    if not frames:  # normalized-image proxy: unit-normal matches RGB_MEAN/STD stats
+        rng = np.random.default_rng(0)
+        frames = list(
+            rng.normal(size=(flags.calibration_frames, input_size, input_size, 3)).astype(
+                np.float32
+            )
+        )
+    return [np.stack(frames[i : i + 4]) for i in range(0, len(frames), 4)]
 
 
 def main():
@@ -42,14 +83,27 @@ def main():
         "keypoint_config": keypoint_config,
         **(hparams.get("model_overrides") or {}),
     }
-    del jax, jnp, model_from_config  # config-only path; restore is untyped
     ckpt = CheckpointManager(flags.model)
     restored = ckpt.restore(flags.which)
-    export_model(
-        flags.out, model_config,
-        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
-    )
-    print(json.dumps({"out": flags.out, "step": int(restored["step"])}))
+    variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+    quant_scales = None
+    if flags.quantize:
+        from object_keypoints_tpu.serving.quantize import calibrate_activation_scales
+
+        model = model_from_config(model_config, dtype=jnp.bfloat16)
+        # eager apply: the interceptor must see concrete values, not tracers
+        quant_scales = calibrate_activation_scales(
+            lambda b: model.apply(variables, jnp.asarray(b, jnp.bfloat16), train=False),
+            _calibration_batches(flags, keypoint_config),
+        )
+
+    export_model(flags.out, model_config, variables, quant_scales=quant_scales)
+    print(json.dumps({
+        "out": flags.out,
+        "step": int(restored["step"]),
+        "quantized_convs": len(quant_scales) if quant_scales else 0,
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,122 @@
+"""int8 post-training quantization gates (serving/quantize.py).
+
+The bench serves int8 by default, so these tests are the standing accuracy
+gate: the quantized serve path must stay within the BASELINE.md parity
+budgets (≤1 px peaks, ≤5 mm 3D) of the float path it replaces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from object_keypoints_tpu.models import KeypointNet
+from object_keypoints_tpu.serving import quantize as Q
+from object_keypoints_tpu.serving.export import (
+    export_model,
+    load_inference_fn,
+    load_quant_scales,
+    make_inference_fn,
+)
+
+
+def small_model():
+    return KeypointNet(
+        heatmaps_out=3, features=32, dims=(32, 32, 48, 48, 64),
+        stacks=2, dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    model = small_model()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 127, 127, 3)), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x[:1], train=False)
+    scales = Q.calibrate_activation_scales(
+        lambda b: model.apply(variables, b, train=False), [x]
+    )
+    return model, variables, scales, x
+
+
+class TestCalibration:
+    def test_covers_plain_convs_only(self, calibrated):
+        model, variables, scales, x = calibrated
+        assert len(scales) > 20  # the hourglass has many convs
+        assert all(s > 0 for s in scales.values())
+        # depthwise fire-module branches are not eligible and never recorded:
+        # every recorded path must correspond to a feature_group_count==1 conv,
+        # which we verify by running the quantized path without error below.
+
+    def test_rejects_jitted_calibration(self, calibrated):
+        model, variables, _, x = calibrated
+        jit_apply = jax.jit(lambda b: model.apply(variables, b, train=False))
+        with pytest.raises(RuntimeError, match="eagerly"):
+            Q.calibrate_activation_scales(lambda b: jit_apply(b), [x])
+
+
+class TestAccuracy:
+    def test_serving_outputs_close(self, calibrated):
+        """Quantized (sigmoid heat, depth, centers) vs float: within the
+        parity budgets that gate the decode path (heat in probability units,
+        depth in meters)."""
+        model, variables, scales, x = calibrated
+        ref = model.apply(variables, x, train=False)
+        out = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, scales, b, train=False)
+        )(x)
+        for stack in range(2):
+            heat_d = np.abs(
+                jax.nn.sigmoid(np.asarray(ref[0][stack], np.float32))
+                - jax.nn.sigmoid(np.asarray(out[0][stack], np.float32))
+            ).max()
+            depth_d = np.abs(
+                np.asarray(ref[1][stack], np.float32) - np.asarray(out[1][stack], np.float32)
+            ).max()
+            cent_d = np.abs(
+                np.asarray(ref[2][stack], np.float32) - np.asarray(out[2][stack], np.float32)
+            ).max()
+            assert heat_d < 0.02, heat_d  # probability units
+            assert depth_d < 0.005, depth_d  # meters: the 5 mm gate
+            assert cent_d < 0.25, cent_d  # pixels (64x64 map): << 1 px gate
+
+    def test_small_input_convs_left_in_float(self):
+        """Convs with < min_in_features input channels (e.g. the 3-channel
+        stem) bypass quantization entirely — bitwise equal to float."""
+        conv = nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 9, 9, 3)), jnp.float32)
+        v = conv.init(jax.random.key(0), x)
+        scales = Q.calibrate_activation_scales(lambda b: conv.apply(v, b), [x])
+        out = Q.quantized_apply(conv, v, scales, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(conv.apply(v, x)))
+
+
+class TestArtifact:
+    def test_export_roundtrip_with_scales(self, calibrated, tmp_path):
+        model, variables, scales, x = calibrated
+        config = {
+            "heatmaps_out": 3, "features": 32, "dims": [32, 32, 48, 48, 64],
+            "stacks": 2, "input_size": 127, "keypoint_config": [1, 1],
+        }
+        export_model(str(tmp_path), config, variables, quant_scales=scales)
+        assert load_quant_scales(str(tmp_path)) == pytest.approx(scales)
+
+        nchw = jnp.transpose(x, (0, 3, 1, 2))
+        ref = make_inference_fn(model, variables)(nchw)
+        auto = load_inference_fn(str(tmp_path))(nchw)  # picks up quant.json
+        never = load_inference_fn(str(tmp_path), quantize="never")(nchw)
+        assert np.abs(np.asarray(ref[0]) - np.asarray(auto[0])).max() < 0.02
+        np.testing.assert_allclose(
+            np.asarray(ref[0]), np.asarray(never[0]), rtol=0, atol=1e-6
+        )
+
+    def test_require_raises_without_scales(self, calibrated, tmp_path):
+        model, variables, _, _ = calibrated
+        config = {
+            "heatmaps_out": 3, "features": 32, "dims": [32, 32, 48, 48, 64],
+            "stacks": 2, "input_size": 127, "keypoint_config": [1, 1],
+        }
+        export_model(str(tmp_path), config, variables)
+        with pytest.raises(FileNotFoundError):
+            load_inference_fn(str(tmp_path), quantize="require")
