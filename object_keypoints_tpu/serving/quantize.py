@@ -49,6 +49,22 @@ def _is_plain_conv(module, method_name: str) -> bool:
     )
 
 
+def _is_plain_conv_transpose(module, method_name: str) -> bool:
+    """The hourglass unpools (ConvTranspose(4, s2), hourglass.py:71-79) —
+    MXU contractions too, so they quantize the same way."""
+    return (
+        type(module) is nn.ConvTranspose
+        and method_name == "__call__"
+        and not module.transpose_kernel
+    )
+
+
+def _is_quantizable(module, method_name: str) -> bool:
+    return _is_plain_conv(module, method_name) or _is_plain_conv_transpose(
+        module, method_name
+    )
+
+
 def _conv_dims(module: nn.Module, x):
     """(strides, padding, dilation) normalized for lax.conv_general_dilated."""
     nd = x.ndim - 2
@@ -72,7 +88,7 @@ def collect_activation_scales(stats: Dict[str, jax.Array]):
     """
 
     def interceptor(next_fn, args, kwargs, context):
-        if _is_plain_conv(context.module, context.method_name):
+        if _is_quantizable(context.module, context.method_name):
             path = _conv_path(context.module)
             amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
             prev = stats.get(path)
@@ -106,7 +122,7 @@ def make_quantize_interceptor(
 
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
-        if not _is_plain_conv(m, context.method_name):
+        if not _is_quantizable(m, context.method_name):
             return next_fn(*args, **kwargs)
         path = _conv_path(m)
         s_act = scales.get(path)
@@ -117,7 +133,6 @@ def make_quantize_interceptor(
             return next_fn(*args, **kwargs)
 
         x = args[0]
-        strides, padding, dilation = _conv_dims(m, x)
         s_in = s_act / 127.0
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
@@ -128,15 +143,29 @@ def make_quantize_interceptor(
         s_w = jnp.maximum(s_w, 1e-12)
         wq = jnp.clip(jnp.round(w / s_w), -127.0, 127.0).astype(jnp.int8)
 
-        y = jax.lax.conv_general_dilated(
-            xq,
-            wq,
-            strides,
-            padding,
-            rhs_dilation=dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
+        if _is_plain_conv_transpose(m, context.method_name):
+            strides = m.strides or (1,) * (x.ndim - 2)
+            y = jax.lax.conv_transpose(
+                xq,
+                wq,
+                strides,
+                m.padding,
+                rhs_dilation=m.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=False,
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            strides, padding, dilation = _conv_dims(m, x)
+            y = jax.lax.conv_general_dilated(
+                xq,
+                wq,
+                strides,
+                padding,
+                rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
         y = y.astype(jnp.float32) * (s_in * s_w)
         if m.use_bias:
             y = y + m.get_variable("params", "bias").astype(jnp.float32)

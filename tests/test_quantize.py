@@ -41,10 +41,12 @@ def calibrated():
 
 
 class TestCalibration:
-    def test_covers_plain_convs_only(self, calibrated):
+    def test_covers_eligible_convs(self, calibrated):
         model, variables, scales, x = calibrated
         assert len(scales) > 20  # the hourglass has many convs
         assert all(s > 0 for s in scales.values())
+        # the hourglass unpool ConvTranspose layers are eligible too
+        assert any("up2" in path for path in scales)
         # depthwise fire-module branches are not eligible and never recorded:
         # every recorded path must correspond to a feature_group_count==1 conv,
         # which we verify by running the quantized path without error below.
