@@ -26,6 +26,7 @@ class CocoDetectionDataset:
                  shuffle_seed: Optional[int] = None):
         with open(annotation_file, "rt") as f:
             coco = json.load(f)
+        self.annotation_file = annotation_file
         self.image_dir = image_dir
         self.images = {im["id"]: im for im in coco["images"]}
         self.categories = sorted(c["id"] for c in coco.get("categories", []))
@@ -86,24 +87,25 @@ class CocoDetectionDataset:
 
     def evaluate(self, result_json: str, cls_ids=None, image_ids=None):
         """Official COCOeval when pycocotools exists; otherwise the built-in
-        AP@0.5 fallback."""
+        AP@0.5 fallback (corner_net_lite/core/dbs/coco.py:155-169)."""
         try:
-            from pycocotools.coco import COCO  # noqa: F401
+            from pycocotools.coco import COCO
             from pycocotools.cocoeval import COCOeval
         except ImportError:
             return self._evaluate_fallback(result_json)
-        coco = COCO()
-        coco.dataset = {
-            "images": list(self.images.values()),
-            "annotations": [],
-            "categories": [{"id": c} for c in self.categories],
-        }
-        # official path intentionally thin — environments with pycocotools
-        # should prefer loading the original annotation file
-        raise NotImplementedError(
-            "official COCOeval path requires the original annotation file; "
-            "use the fallback or construct COCOeval directly"
-        )
+        coco = COCO(self.annotation_file)
+        coco_dets = coco.loadRes(result_json)
+        coco_eval = COCOeval(coco, coco_dets, "bbox")
+        if image_ids is not None:
+            coco_eval.params.imgIds = list(image_ids)
+        if cls_ids is not None:
+            coco_eval.params.catIds = [
+                self.class_to_cat.get(c, c) for c in cls_ids
+            ]
+        coco_eval.evaluate()
+        coco_eval.accumulate()
+        coco_eval.summarize()
+        return {"mAP": float(coco_eval.stats[0]), "stats": list(coco_eval.stats)}
 
     def _evaluate_fallback(self, result_json: str, iou_threshold: float = 0.5):
         """PASCAL-style AP@iou averaged over classes."""

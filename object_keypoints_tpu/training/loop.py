@@ -151,9 +151,18 @@ def train(config: TrainConfig) -> dict:
     def _val_batches():
         chain = Chain(val_sets)
         # pose extras are host-side metadata; the eval_step batch needs the
-        # tensor fields only
-        for b in batched(chain, config.batch_size * 2, drop_last=False):
-            yield {k: b[k] for k in ("frame", "heatmaps", "depth", "centers")}
+        # tensor fields only. The tail batch is padded (cyclically) up to the
+        # full batch size so eval_step compiles exactly ONE shape — a ragged
+        # tail would trigger a fresh multi-minute jit compile per distinct
+        # size on this host (full-model compile is 2-6 min).
+        vb = config.batch_size * 2
+        for b in batched(chain, vb, drop_last=False):
+            b = {k: b[k] for k in ("frame", "heatmaps", "depth", "centers")}
+            n = len(b["frame"])
+            if n < vb:
+                idx = np.resize(np.arange(n), vb)
+                b = {k: np.asarray(v)[idx] for k, v in b.items()}
+            yield b
 
     for epoch in range(config.epochs):
         epoch_steps = 0
