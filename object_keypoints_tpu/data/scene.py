@@ -60,11 +60,17 @@ class SceneDataset:
 
     def __init__(self, base_dir, keypoint_config, augment: bool = False,
                  augment_color: bool = False, include_pose: bool = False,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, host_targets: Optional[bool] = None):
         del augment_color  # accepted-and-unused, like the reference call sites
         self.base_dir = os.path.expanduser(str(base_dir))
         self.metadata_path = os.path.join(self.base_dir, "data.hdf5")
         self.augment = augment
+        # host_targets: render targets on the host C++ data plane instead of
+        # the device (useful when data workers must not contend with a
+        # training step for the single chip); default from OKT_HOST_TARGETS.
+        if host_targets is None:
+            host_targets = os.environ.get("OKT_HOST_TARGETS", "0") == "1"
+        self.host_targets = host_targets
         self.keypoint_config = [1] + list(keypoint_config["keypoint_config"])
         self.include_pose = include_pose
         self.rng = np.random.default_rng(seed)
@@ -134,13 +140,19 @@ class SceneDataset:
         )
         valid = np.ones((self.n_objects, self.n_keypoints), bool)
 
-        heat, depth, centers = targets_mod.render_all_targets(
-            jnp.asarray(points_t, jnp.float32),
-            jnp.asarray(points_C, jnp.float32),
-            jnp.asarray(valid),
-            tuple(self.keypoint_config),
-            self.target_size,
-        )
+        if self.host_targets:
+            heat, depth, centers = targets_mod.render_all_targets_host(
+                points_t, points_C, valid,
+                tuple(self.keypoint_config), self.target_size,
+            )
+        else:
+            heat, depth, centers = targets_mod.render_all_targets(
+                jnp.asarray(points_t, jnp.float32),
+                jnp.asarray(points_C, jnp.float32),
+                jnp.asarray(valid),
+                tuple(self.keypoint_config),
+                self.target_size,
+            )
 
         from object_keypoints_tpu.data.native import normalize_image
 

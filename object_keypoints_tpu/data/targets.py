@@ -201,6 +201,85 @@ def render_depth_field(points, points_C, valid, keypoint_config: tuple,
     return depth
 
 
+def render_all_targets_host(points, points_C, valid, keypoint_config: tuple,
+                            target_size: tuple = (HEATMAP_SIZE, HEATMAP_SIZE),
+                            length_scale=DEFAULT_LENGTH_SCALE,
+                            radius=CENTER_RADIUS):
+    """Host-side twin of :func:`render_all_targets` on the native C++ data
+    plane (native/okt_native.cpp via data.native; pure numpy when the lib is
+    unavailable). Keeps target rendering entirely off the device — use this
+    (``SceneDataset(host_targets=True)`` or ``OKT_HOST_TARGETS=1``) when data
+    workers must not contend with a training step for the single chip.
+
+    Same outputs as the device program: (K, H, W) heatmaps, (K, H, W) depth,
+    (T, 2, H, W) centers; parity is gated in tests/test_targets.py.
+    """
+    from object_keypoints_tpu.data import native
+
+    points = np.asarray(points, np.float32)
+    points_C = np.asarray(points_C, np.float32)
+    valid = np.asarray(valid, bool)
+    n_objects, n_keypoints = points.shape[:2]
+    h, w = target_size
+    K = len(keypoint_config)
+    T = K - 1
+
+    # heatmaps: additive truncated gaussians then normalize-and-clip
+    # (video.py:197-213)
+    heat = np.zeros((K, h, w), np.float32)
+    start = 0
+    for m, n in enumerate(keypoint_config):
+        pts = points[:, start:start + n].reshape(-1, 2)
+        vld = valid[:, start:start + n].reshape(-1)
+        if vld.any():
+            native.splat_gaussian(heat[m], pts[vld], float(length_scale),
+                                  KERNEL_RADIUS)
+        start += n
+    peak = np.maximum(heat.max(axis=(1, 2)), 0.5)
+    heat = np.clip(heat / peak[:, None, None], 0.0, 1.0)
+
+    # depth discs (video.py:244-263): per map, objects in order so later
+    # objects overwrite earlier on overlap, like the device renderer.
+    depth = np.zeros((K, h, w), np.float32)
+    kp_of_map = []
+    start = 0
+    for n in keypoint_config:
+        kp_of_map.append(list(range(start, start + n)))
+        start += n
+    for m in range(K):
+        pts, zs = [], []
+        for obj in range(n_objects):
+            for kp_index in kp_of_map[m]:
+                if valid[obj, kp_index]:
+                    pts.append(points[obj, kp_index])
+                    zs.append([points_C[obj, kp_index, 2]])
+        if pts:
+            native.fill_discs(depth[m:m + 1], np.asarray(pts, np.float32),
+                              np.asarray(zs, np.float32), float(radius))
+
+    # center-offset field (video.py:225-242): the stored value varies per
+    # pixel (object_center - pixel_center), so fill constant (cx, cy, 1)
+    # discs and subtract the pixel grid afterwards.
+    grid = np.asarray(pixel_grid(h, w))  # (2, H, W)
+    centers = np.zeros((T, 2, h, w), np.float32)
+    for t in range(T):
+        scratch = np.zeros((3, h, w), np.float32)
+        pts, vals = [], []
+        for obj in range(n_objects):
+            center = points[obj, 0]
+            for kp_index in kp_of_map[1 + t]:
+                if valid[obj, kp_index]:
+                    pts.append(points[obj, kp_index])
+                    vals.append([center[0], center[1], 1.0])
+        if pts:
+            native.fill_discs(scratch, np.asarray(pts, np.float32),
+                              np.asarray(vals, np.float32), float(radius))
+        mask = scratch[2] > 0
+        centers[t, 0] = np.where(mask, scratch[0] - grid[0], 0.0)
+        centers[t, 1] = np.where(mask, scratch[1] - grid[1], 0.0)
+    return heat, depth, centers
+
+
 @functools.partial(jax.jit, static_argnames=("keypoint_config", "target_size"))
 def render_all_targets(points, points_C, valid, keypoint_config: tuple,
                        target_size: tuple = (HEATMAP_SIZE, HEATMAP_SIZE)):

@@ -6,10 +6,10 @@ in-place doubling-stride scan — a log-depth cumulative max along one image
 axis (top_pool.cpp:16-21) — and the backward scatter-adds gradients to the
 running argmax (top_pool.cpp:28-69).
 
-On TPU no custom kernel is needed for correctness: a directional cummax is
-``jax.lax.cummax`` (reversed for the suffix variants), and JAX autodiff
-yields exactly the scatter-to-argmax backward. A fused Pallas variant for
-the corner_pool *block* (two pools + add) lives in ops/pallas.
+On TPU no custom kernel is needed: a directional cummax is
+``jax.lax.cummax`` (reversed for the suffix variants), XLA fuses the
+two-pool + add block, and JAX autodiff yields exactly the
+scatter-to-argmax backward.
 
 Direction map (torch NCHW semantics -> our NHWC):
 - TopPool:    out[i] = max(x[i:])   along H  -> suffix cummax, axis 1

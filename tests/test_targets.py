@@ -123,3 +123,24 @@ class TestRenderAll:
         assert depth[1, 30, 30] == 1.5
         assert depth[2, 40, 40] == 1.5
         assert depth[1, 5, 5] == 0.0
+
+    def test_host_renderer_matches_device(self):
+        """The native/numpy host fallback (render_all_targets_host) must be
+        pixel-exact vs the jitted device renderer — same maps, same overwrite
+        order, same normalize-and-clip."""
+        config = (1, 1, 3)
+        rng = np.random.default_rng(3)
+        points = rng.uniform(4, 60, size=(2, 5, 2)).astype(np.float32)
+        p_C = np.concatenate(
+            [points, rng.uniform(0.5, 2.0, size=(2, 5, 1)).astype(np.float32)],
+            axis=-1,
+        )
+        valid = rng.uniform(size=(2, 5)) > 0.2
+        valid[:, 0] = True  # centers always labeled
+        dev = T.render_all_targets(
+            jnp.asarray(points), jnp.asarray(p_C), jnp.asarray(valid),
+            config, (64, 64),
+        )
+        host = T.render_all_targets_host(points, p_C, valid, config, (64, 64))
+        for d, h in zip(dev, host):
+            np.testing.assert_allclose(np.asarray(d), h, atol=1e-5)
