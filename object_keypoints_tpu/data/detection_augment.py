@@ -71,6 +71,38 @@ def random_crop(image, detections, random_scales, view_size, border: int = 64,
     return cropped, out_dets
 
 
+def crop_image_around(image, center_yx, size, output_size=None):
+    """Zero-padded crop of ``size`` centered at ``center_yx``, placed in the
+    middle of an ``output_size`` canvas (sample/utils.py:130-163).
+
+    Returns (cropped, border, offset): ``border`` = (y0, y1, x0, x1) of the
+    valid region inside the canvas, ``offset`` = (dy, dx) mapping source
+    pixel coords into canvas coords (subtract it).
+    """
+    if output_size is None:
+        output_size = size
+    cty, ctx = center_yx
+    height, width = size
+    o_height, o_width = output_size
+    im_height, im_width = image.shape[:2]
+    cropped = np.zeros((o_height, o_width, 3), image.dtype)
+
+    x0, x1 = max(0, ctx - width // 2), min(ctx + width // 2, im_width)
+    y0, y1 = max(0, cty - height // 2), min(cty + height // 2, im_height)
+    left, right = ctx - x0, x1 - ctx
+    top, bottom = cty - y0, y1 - cty
+
+    cc_y, cc_x = o_height // 2, o_width // 2
+    cropped[cc_y - top : cc_y + bottom, cc_x - left : cc_x + right] = (
+        image[y0:y1, x0:x1]
+    )
+    border = np.array(
+        [cc_y - top, cc_y + bottom, cc_x - left, cc_x + right], np.float32
+    )
+    offset = np.array([cty - o_height // 2, ctx - o_width // 2])
+    return cropped, border, offset
+
+
 def resize_image(image, detections, size):
     """Resize + detection remap (sample/cornernet.py _resize_image)."""
     h, w = image.shape[:2]

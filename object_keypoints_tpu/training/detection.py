@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from object_keypoints_tpu.training.losses import cornernet_loss
+from object_keypoints_tpu.training.losses import cornernet_loss, cornernet_saccade_loss
 from object_keypoints_tpu.data.detection_targets import gather_tags
 from object_keypoints_tpu.training.trainer import TrainState
 
@@ -87,6 +87,50 @@ def detection_train_step(model, state: TrainState, batch):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
+def saccade_train_step(model, state: TrainState, batch):
+    """One CornerNet-Saccade training step: the CornerNet terms with
+    validity-masked focal plus the per-scale attention focal
+    (losses.py:97-165 semantics; targets from
+    data.detection_targets.saccade_sample).
+
+    batch adds to the cornernet layout: tl_valids/br_valids (N, oh, ow, C)
+    and attentions — a tuple of per-scale (N, ah, aw, 1) masks, coarse to
+    fine, matching the model's collected upsample features."""
+
+    def loss_fn(params):
+        outs, new_state = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["images"], True, mutable=["batch_stats"],
+        )
+        tl_heats, br_heats, tl_tags_f, br_tags_f, tl_offs_f, br_offs_f, atts = outs[:7]
+        tl_tags = [gather_tags(t, batch["tl_tags"])[..., 0] for t in tl_tags_f]
+        br_tags = [gather_tags(t, batch["br_tags"])[..., 0] for t in br_tags_f]
+        tl_offs = [gather_tags(t, batch["tl_tags"]) for t in tl_offs_f]
+        br_offs = [gather_tags(t, batch["br_tags"]) for t in br_offs_f]
+        loss = cornernet_saccade_loss(
+            (tl_heats, br_heats, tl_tags, br_tags, tl_offs, br_offs, atts),
+            (batch["tl_heatmaps"], batch["br_heatmaps"], batch["tag_mask"],
+             batch["tl_regrs"], batch["br_regrs"],
+             batch["tl_valids"], batch["br_valids"],
+             list(batch["attentions"])),
+        )
+        return loss, new_state["batch_stats"]
+
+    (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_batch_stats, opt_state=new_opt_state,
+        ),
+        {"loss": loss},
+    )
+
+
 def train_detector(
     model,
     variables,
@@ -95,9 +139,13 @@ def train_detector(
     start_iter: int = 0,
     snapshot_dir: Optional[str] = None,
     on_display: Optional[Callable] = None,
+    train_step_fn: Optional[Callable] = None,
 ):
     """The vendored iteration loop (train.py:162-183). ``batches`` yields
-    detection batches; returns the final TrainState."""
+    detection batches; returns the final TrainState. ``train_step_fn``
+    selects the per-family step (the reference's data_sampling_func
+    dispatcher, sample/__init__.py:1-5): detection_train_step (default) or
+    saccade_train_step."""
     import orbax.checkpoint as ocp
 
     tx = make_detection_optimizer(system_config)
@@ -117,11 +165,12 @@ def train_detector(
             )
         )
 
+    step_fn = train_step_fn or detection_train_step
     ckpt = ocp.PyTreeCheckpointer() if snapshot_dir else None
     losses = []
     for iteration in range(start_iter + 1, int(system_config.max_iter) + 1):
         batch = next(batches)
-        state, metrics = detection_train_step(model, state, batch)
+        state, metrics = step_fn(model, state, batch)
         losses.append(float(metrics["loss"]))
         if iteration % system_config.display == 0:
             msg = f"iter {iteration}: loss {np.mean(losses[-system_config.display:]):.5f}"

@@ -35,9 +35,11 @@ def read_args():
     return parser.parse_args()
 
 
-def batch_stream(dataset, db_config, batch_size, workers):
+def batch_stream(dataset, db_config, batch_size, workers, saccade=False):
     """Threaded COCO batch producer (replaces the vendored prefetch
-    processes + pinned-memory thread, corner_net_lite/train.py:49-87)."""
+    processes + pinned-memory thread, corner_net_lite/train.py:49-87).
+    With ``saccade=True`` it runs the crop-around-object zoom sampler
+    (sample/cornernet_saccade.py) instead of the plain cornernet one."""
     import cv2
     import jax.numpy as jnp
 
@@ -48,7 +50,10 @@ def batch_stream(dataset, db_config, batch_size, workers):
         random_crop,
         resize_image,
     )
-    from object_keypoints_tpu.data.detection_targets import render_corner_targets
+    from object_keypoints_tpu.data.detection_targets import (
+        render_corner_targets,
+        saccade_sample,
+    )
     from object_keypoints_tpu.inference.detector import COCO_MEAN, COCO_STD
 
     input_size = db_config["input_size"]
@@ -65,19 +70,25 @@ def batch_stream(dataset, db_config, batch_size, workers):
                 ind = int(rng.integers(len(dataset)))
                 img = cv2.imread(dataset.image_path(ind))
                 dets = dataset.detections(ind).copy()
-                # sampler pipeline (sample/cornernet.py:76-99)
-                if db_config["rand_crop"]:
-                    img, dets = random_crop(
-                        img, dets, db_config["rand_scales"], input_size,
-                        border=db_config["border"], rng=rng,
-                    )
-                img, dets = resize_image(img, dets, input_size)
-                dets = clip_detections(img, dets)
-                if rng.uniform() > 0.5:  # random horizontal flip
-                    img = np.ascontiguousarray(img[:, ::-1])
-                    if len(dets):
-                        width = img.shape[1]
-                        dets[:, [0, 2]] = width - dets[:, [2, 0]] - 1
+                if saccade:
+                    # geometric part (zoom, crop around a ref object, flip,
+                    # attention/validity targets) lives in the sampler
+                    img, t = saccade_sample(img, dets, db_config, rng)
+                else:
+                    # sampler pipeline (sample/cornernet.py:76-99)
+                    if db_config["rand_crop"]:
+                        img, dets = random_crop(
+                            img, dets, db_config["rand_scales"], input_size,
+                            border=db_config["border"], rng=rng,
+                        )
+                    img, dets = resize_image(img, dets, input_size)
+                    dets = clip_detections(img, dets)
+                    if rng.uniform() > 0.5:  # random horizontal flip
+                        img = np.ascontiguousarray(img[:, ::-1])
+                        if len(dets):
+                            width = img.shape[1]
+                            dets[:, [0, 2]] = width - dets[:, [2, 0]] - 1
+                    t = None
                 img = img[..., ::-1].astype(np.float32) / 255.0  # bgr -> rgb
                 if db_config["rand_color"]:
                     img = color_jitter(img, rng)
@@ -86,7 +97,7 @@ def batch_stream(dataset, db_config, batch_size, workers):
                 img = (img - COCO_MEAN) / COCO_STD
                 images.append(img)
                 targets.append(
-                    render_corner_targets(
+                    t if t is not None else render_corner_targets(
                         dets, categories, input_size, output_size,
                         gaussian_bump=db_config["gaussian_bump"],
                         gaussian_iou=db_config["gaussian_iou"],
@@ -95,7 +106,13 @@ def batch_stream(dataset, db_config, batch_size, workers):
                 )
             batch = {"images": jnp.asarray(np.stack(images))}
             for key in targets[0]:
-                batch[key] = jnp.asarray(np.stack([t[key] for t in targets]))
+                if key == "attentions":
+                    batch[key] = tuple(
+                        jnp.asarray(np.stack([t[key][i] for t in targets]))
+                        for i in range(len(targets[0][key]))
+                    )
+                else:
+                    batch[key] = jnp.asarray(np.stack([t[key] for t in targets]))
             q.put(batch)
 
     for i in range(workers):
@@ -116,7 +133,10 @@ def main():
         cornernet_saccade,
         cornernet_squeeze,
     )
-    from object_keypoints_tpu.training.detection import train_detector
+    from object_keypoints_tpu.training.detection import (
+        saccade_train_step,
+        train_detector,
+    )
     from object_keypoints_tpu.utils.config import DetectionConfig, SystemConfig, load_cfg
 
     cfg_path = os.path.join(
@@ -142,10 +162,13 @@ def main():
     variables = model.init({"params": jax.random.key(0)}, dummy)
 
     os.makedirs(flags.snapshot_dir, exist_ok=True)
-    batches = batch_stream(dataset, db_config, batch_size, flags.workers)
+    saccade = flags.cfg_file.split("-")[0] == "CornerNet_Saccade"
+    batches = batch_stream(dataset, db_config, batch_size, flags.workers,
+                           saccade=saccade)
     train_detector(
         model, variables, system_config, batches,
         start_iter=flags.start_iter, snapshot_dir=flags.snapshot_dir,
+        train_step_fn=saccade_train_step if saccade else None,
     )
 
 

@@ -93,6 +93,147 @@ class TestDetectionTrainer:
         assert (tmp_path / "det_4").exists()
 
 
+class TestSaccadeSampler:
+    """The CornerNet-Saccade training sampler
+    (sample/cornernet_saccade.py:116-268)."""
+
+    def _db_config(self, **overrides):
+        from object_keypoints_tpu.utils.config import DetectionConfig
+
+        cfg = {
+            "categories": 2,
+            "input_size": [64, 64],
+            "output_sizes": [[16, 16]],
+            "att_sizes": [[8, 8], [16, 16]],
+            "att_ranges": [[32, 96], [0, 32]],
+            "att_ratios": [8, 4],
+            "gaussian_iou": 0.5,
+            "min_scale": 2,
+            "rand_scales": [1.0],
+            "rand_crop": False,
+            "rand_center": False,
+        }
+        cfg.update(overrides)
+        return DetectionConfig(cfg)
+
+    def test_shapes_and_tags(self):
+        from object_keypoints_tpu.data.detection_targets import saccade_sample
+
+        rng = np.random.default_rng(0)
+        image = np.zeros((64, 64, 3), np.uint8)
+        # one mid-size object (max side 24 -> fine attention scale band)
+        dets = np.array([[20.0, 20.0, 44.0, 40.0, 1.0]], np.float32)
+        img, t = saccade_sample(image, dets, self._db_config(), rng,
+                                max_tag_len=8, flip=False)
+        assert img.shape[0] == 64 and img.shape[2] == 3
+        assert t["tl_heatmaps"].shape == (16, 16, 2)
+        assert t["tl_valids"].shape == (16, 16, 2)
+        assert t["tl_regrs"].shape == (8, 2)
+        assert len(t["attentions"]) == 2
+        assert t["attentions"][0].shape == (8, 8, 1)
+        assert t["attentions"][1].shape == (16, 16, 1)
+        # the object survived the (centered) crop: one trainable tag
+        assert t["tag_mask"].sum() == 1
+        assert t["tl_heatmaps"].max() == 1.0
+        # trainable objects don't mask any focal negatives
+        assert (t["tl_valids"] == 1).all() and (t["br_valids"] == 1).all()
+        # tag index decodes to the tl corner cell of category-0 peak
+        tag = int(t["tl_tags"][0])
+        y, x = divmod(tag, 16)
+        assert t["tl_heatmaps"][y, x, 0] == 1.0
+
+    def test_attention_scale_bands(self):
+        from object_keypoints_tpu.data.detection_targets import (
+            create_attention_masks,
+        )
+
+        # small object -> fine map only; large object -> coarse map only
+        dets = np.array(
+            [[2, 2, 12, 12, 1],      # max side 10 -> range [0, 32] (fine)
+             [0, 0, 60, 40, 2]],     # max side 60 -> range [32, 96] (coarse)
+            np.float32,
+        )
+        atts = create_attention_masks(
+            [[8, 8], [16, 16]], [8, 4], [[32, 96], [0, 32]], dets
+        )
+        assert atts[0].sum() == 1  # coarse: only the large object
+        assert atts[1].sum() == 1  # fine: only the small object
+        assert atts[0][int(50 / 2 / 8), int(60 / 2 / 8), 0] == 0  # sanity: not both
+        assert atts[1][int(7 / 4), int(7 / 4), 0] == 1.0
+
+    def test_untrainable_objects_masked_not_heated(self, monkeypatch):
+        from object_keypoints_tpu.data import detection_targets as dt
+
+        rng = np.random.default_rng(2)
+        image = np.zeros((64, 64, 3), np.uint8)
+        # tiny object below min_scale: excluded from heatmaps, bumps the
+        # validity mask instead (cornernet_saccade.py:259-264). Disable the
+        # ref zoom (which would otherwise make it trainable — that's the
+        # point of the sampler) to pin the untrainable branch.
+        monkeypatch.setattr(dt, "saccade_ref_scale", lambda *a: (None, None))
+        dets = np.array([[30.0, 30.0, 33.0, 33.0, 1.0]], np.float32)
+        cfg = self._db_config(min_scale=16)
+        img, t = dt.saccade_sample(image, dets, cfg, rng, max_tag_len=8,
+                                   flip=False)
+        assert t["tag_mask"].sum() == 0
+        assert t["tl_heatmaps"].max() == 0.0
+        assert (t["tl_valids"] == 0).any()  # masked region exists
+
+
+class TestSaccadeTraining:
+    def test_saccade_loss_decreases_end_to_end(self):
+        """Train a tiny CornerNet-Saccade (attention heads + validity-masked
+        focal) on sampler-produced targets for N steps; the loss must fall
+        and stay finite (reference has no equivalent gate — train.py only)."""
+        from object_keypoints_tpu.data.detection_targets import saccade_sample
+        from object_keypoints_tpu.training.detection import saccade_train_step
+
+        model = CornerNetModel(
+            categories=2, stacks=1, levels=2, dims=(8, 8, 16), mods=(1, 1, 1),
+            hourglass="residual", stem_residuals=1, cnv_dim=8,
+            with_attention=True,
+        )
+        cfg = TestSaccadeSampler()._db_config()
+        rng = np.random.default_rng(3)
+        image = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+        dets = np.array([[16.0, 12.0, 48.0, 40.0, 1.0],
+                         [4.0, 4.0, 14.0, 14.0, 2.0]], np.float32)
+        n = 2
+        samples = [saccade_sample(image, dets, cfg, rng, max_tag_len=8,
+                                  flip=False) for _ in range(n)]
+        batch = {"images": jnp.asarray(
+            np.stack([s[0] for s in samples]).astype(np.float32) / 255.0
+        )}
+        t0 = samples[0][1]
+        for key in t0:
+            if key == "attentions":
+                batch[key] = tuple(
+                    jnp.asarray(np.stack([s[1][key][i] for s in samples]))
+                    for i in range(len(t0[key]))
+                )
+            else:
+                batch[key] = jnp.asarray(np.stack([s[1][key] for s in samples]))
+
+        variables = model.init({"params": jax.random.key(0)}, batch["images"])
+        sys_cfg = SystemConfig(learning_rate=3e-3, max_iter=1000,
+                               stepsize=1000, opt_algo="adam")
+        tx = make_detection_optimizer(sys_cfg)
+        from flax.core import FrozenDict
+        from object_keypoints_tpu.training.trainer import TrainState
+
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=tx.init(variables["params"]), tx=tx,
+        )
+        losses = []
+        for _ in range(25):
+            state, metrics = saccade_train_step(model, state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
 class TestCocoDataset:
     @pytest.fixture()
     def coco_dir(self, tmp_path):
@@ -137,3 +278,56 @@ class TestCocoDataset:
         result_json.write_text(json.dumps(results))
         out = ds._evaluate_fallback(str(result_json))
         assert out["mAP"] > 0.99
+
+    def test_official_cocoeval_path(self, coco_dir, tmp_path, monkeypatch):
+        """evaluate() must construct a real COCOeval when pycocotools is
+        importable (corner_net_lite/core/dbs/coco.py:155-169). pycocotools is
+        absent from this image, so inject a recording stand-in."""
+        import sys
+        import types
+
+        calls = {}
+
+        class FakeCOCO:
+            def __init__(self, annotation_file):
+                calls["annotation_file"] = annotation_file
+
+            def loadRes(self, result_json):
+                calls["result_json"] = result_json
+                return self
+
+        class FakeCOCOeval:
+            stats = [0.42] + [0.0] * 11
+
+            def __init__(self, gt, dt, iou_type):
+                calls["iou_type"] = iou_type
+                self.params = types.SimpleNamespace(imgIds=None, catIds=None)
+
+            def evaluate(self):
+                calls["evaluated"] = True
+
+            def accumulate(self):
+                pass
+
+            def summarize(self):
+                pass
+
+        pkg = types.ModuleType("pycocotools")
+        coco_mod = types.ModuleType("pycocotools.coco")
+        coco_mod.COCO = FakeCOCO
+        eval_mod = types.ModuleType("pycocotools.cocoeval")
+        eval_mod.COCOeval = FakeCOCOeval
+        monkeypatch.setitem(sys.modules, "pycocotools", pkg)
+        monkeypatch.setitem(sys.modules, "pycocotools.coco", coco_mod)
+        monkeypatch.setitem(sys.modules, "pycocotools.cocoeval", eval_mod)
+
+        ann, img_dir = coco_dir
+        ds = CocoDetectionDataset(ann, img_dir)
+        result_json = tmp_path / "results.json"
+        result_json.write_text("[]")
+        out = ds.evaluate(str(result_json), cls_ids=[1, 2], image_ids=[7])
+        assert out["mAP"] == pytest.approx(0.42)
+        assert calls["annotation_file"] == ann
+        assert calls["result_json"] == str(result_json)
+        assert calls["iou_type"] == "bbox"
+        assert calls["evaluated"]
