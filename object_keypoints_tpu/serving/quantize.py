@@ -81,36 +81,61 @@ def _conv_dims(module: nn.Module, x):
 
 
 @contextlib.contextmanager
-def collect_activation_scales(stats: Dict[str, jax.Array]):
-    """Context: running per-conv-input max-abs is accumulated into ``stats``.
+def collect_activation_scales(stats: Dict[str, jax.Array],
+                              percentile: Optional[float] = None,
+                              per_channel: bool = False):
+    """Context: running per-conv-input activation scales accumulate into
+    ``stats``. Values stay on device; ``jax.device_get(stats)`` once at the end.
 
-    Values stay on device; ``jax.device_get(stats)`` once at the end.
+    percentile: clip scale at this percentile of |x| instead of max-abs
+    (outlier-robust; the running reduction across batches is still max, so
+    the result is the max over per-batch percentiles — conservative).
+    per_channel: one scale per conv *input channel* (folded into the kernel
+    at quantize time), instead of per tensor.
     """
+
+    def _reduce(x):
+        x = jnp.abs(x.astype(jnp.float32))
+        if per_channel:
+            flat = x.reshape(-1, x.shape[-1])
+            if percentile is None:
+                return jnp.max(flat, axis=0)
+            return jnp.percentile(flat, percentile, axis=0)
+        if percentile is None:
+            return jnp.max(x)
+        return jnp.percentile(x, percentile)
 
     def interceptor(next_fn, args, kwargs, context):
         if _is_quantizable(context.module, context.method_name):
             path = _conv_path(context.module)
-            amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            val = _reduce(args[0])
             prev = stats.get(path)
-            stats[path] = amax if prev is None else jnp.maximum(prev, amax)
+            stats[path] = val if prev is None else jnp.maximum(prev, val)
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):
         yield
 
 
-def calibrate_activation_scales(apply_fn: Callable, batches: Iterable) -> Dict[str, float]:
+def calibrate_activation_scales(apply_fn: Callable, batches: Iterable,
+                                percentile: Optional[float] = None,
+                                per_channel: bool = False) -> Dict:
     """Run ``apply_fn(batch)`` over calibration batches, return per-conv
-    max-abs input scales keyed by flax module path."""
+    input activation scales keyed by flax module path: a float per conv, or
+    a list of per-input-channel floats with ``per_channel=True``."""
     stats: Dict[str, jax.Array] = {}
-    with collect_activation_scales(stats):
+    with collect_activation_scales(stats, percentile=percentile,
+                                   per_channel=per_channel):
         for batch in batches:
             apply_fn(batch)
     if any(isinstance(v, jax.core.Tracer) for v in stats.values()):
         raise RuntimeError(
             "calibration saw tracers — apply_fn must run eagerly (not under jit)"
         )
-    return {k: float(v) for k, v in jax.device_get(stats).items()}
+    host = jax.device_get(stats)
+    if per_channel:
+        return {k: [float(s) for s in v] for k, v in host.items()}
+    return {k: float(v) for k, v in host.items()}
 
 
 def make_quantize_interceptor(
@@ -126,19 +151,33 @@ def make_quantize_interceptor(
             return next_fn(*args, **kwargs)
         path = _conv_path(m)
         s_act = scales.get(path)
-        if s_act is None or s_act <= 0.0 or (skip is not None and skip(path)):
+        per_channel = isinstance(s_act, (list, tuple)) or (
+            hasattr(s_act, "ndim") and getattr(s_act, "ndim", 0) > 0
+        )
+        if (
+            s_act is None
+            or (not per_channel and s_act <= 0.0)
+            or (per_channel and max(s_act) <= 0.0)
+            or (skip is not None and skip(path))
+        ):
             return next_fn(*args, **kwargs)
         kernel = m.get_variable("params", "kernel")  # HW I O
         if kernel is None or kernel.shape[-2] < min_in_features:
             return next_fn(*args, **kwargs)
 
         x = args[0]
-        s_in = s_act / 127.0
+        w = kernel.astype(jnp.float32)
+        if per_channel:
+            # per-input-channel activation scales, folded into the kernel's
+            # I axis so the rescale stays per-output-channel (MXU-friendly)
+            s_in = jnp.maximum(jnp.asarray(s_act, jnp.float32), 1e-12) / 127.0
+            w = w * s_in.reshape((1,) * (w.ndim - 2) + (-1, 1))
+        else:
+            s_in = s_act / 127.0
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
         ).astype(jnp.int8)
 
-        w = kernel.astype(jnp.float32)
         s_w = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
         s_w = jnp.maximum(s_w, 1e-12)
         wq = jnp.clip(jnp.round(w / s_w), -127.0, 127.0).astype(jnp.int8)
@@ -166,7 +205,7 @@ def make_quantize_interceptor(
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-        y = y.astype(jnp.float32) * (s_in * s_w)
+        y = y.astype(jnp.float32) * (s_w if per_channel else s_in * s_w)
         if m.use_bias:
             y = y + m.get_variable("params", "bias").astype(jnp.float32)
         out_dtype = m.dtype or x.dtype

@@ -26,36 +26,60 @@ def read_args():
                              "artifact (TPU serving runs ~1.3x faster; no reference "
                              "analog — the TorchScript trace is fp16/fp32 only).")
     parser.add_argument("--calibration-data", type=str, default=None,
-                        help="Directory of encoded sequences to calibrate on "
-                             "(defaults to unit-normal frames).")
+                        help="Directory of encoded sequences to calibrate on. "
+                             "Default: the checkpoint's recorded training dir "
+                             "(hparams), falling back to unit-normal frames "
+                             "only when no real data is reachable.")
     parser.add_argument("--calibration-frames", type=int, default=16)
+    parser.add_argument("--calibration-percentile", type=float, default=None,
+                        help="Clip activation scales at this percentile of "
+                             "|x| instead of max-abs (e.g. 99.9; "
+                             "outlier-robust).")
+    parser.add_argument("--per-channel", action="store_true",
+                        help="Per-input-channel activation scales (folded "
+                             "into the int8 kernels).")
     return parser.parse_args()
 
 
-def _calibration_batches(flags, keypoint_config, input_size=511):
+def _calibration_batches(flags, keypoint_config, data_dirs, input_size=511):
+    """Real frames from the first reachable directory in ``data_dirs``
+    (--calibration-data, then the checkpoint's recorded train/val dirs);
+    unit-normal frames only as the last resort (max-abs on random data is
+    the flimsiest possible calibration — fine for random-weight throughput
+    benches, not for serving a real model)."""
+    import os
+
     import numpy as np
 
     frames = []
-    if flags.calibration_data:
-        import os
-
+    for data_dir in data_dirs:
+        if not data_dir or not os.path.isdir(data_dir):
+            continue
         from object_keypoints_tpu.data.scene import SceneDataset
 
         seqs = sorted(
-            os.path.join(flags.calibration_data, d)
-            for d in os.listdir(flags.calibration_data)
-            if os.path.isdir(os.path.join(flags.calibration_data, d))
+            os.path.join(data_dir, d)
+            for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d))
         )
         for seq in seqs:
-            for example in SceneDataset(
-                seq, {"keypoint_config": keypoint_config}, augment=False
-            ):
+            try:
+                dataset = SceneDataset(
+                    seq, {"keypoint_config": keypoint_config}, augment=False
+                )
+            except (OSError, AssertionError):
+                continue  # not an encoded sequence / wrong topology
+            for example in dataset:
                 frames.append(np.asarray(example["frame"], np.float32))
                 if len(frames) >= flags.calibration_frames:
                     break
             if len(frames) >= flags.calibration_frames:
                 break
+        if frames:
+            break
     if not frames:  # normalized-image proxy: unit-normal matches RGB_MEAN/STD stats
+        print("package_model: no calibration data reachable; "
+              "falling back to unit-normal frames", file=sys.stderr)
         rng = np.random.default_rng(0)
         frames = list(
             rng.normal(size=(flags.calibration_frames, input_size, input_size, 3)).astype(
@@ -92,10 +116,13 @@ def main():
         from object_keypoints_tpu.serving.quantize import calibrate_activation_scales
 
         model = model_from_config(model_config, dtype=jnp.bfloat16)
+        data_dirs = [flags.calibration_data, hparams.get("train"), hparams.get("val")]
         # eager apply: the interceptor must see concrete values, not tracers
         quant_scales = calibrate_activation_scales(
             lambda b: model.apply(variables, jnp.asarray(b, jnp.bfloat16), train=False),
-            _calibration_batches(flags, keypoint_config),
+            _calibration_batches(flags, keypoint_config, data_dirs),
+            percentile=flags.calibration_percentile,
+            per_channel=flags.per_channel,
         )
 
     export_model(flags.out, model_config, variables, quant_scales=quant_scales)

@@ -83,6 +83,57 @@ class TestAccuracy:
             assert depth_d < 0.005, depth_d  # meters: the 5 mm gate
             assert cent_d < 0.25, cent_d  # pixels (64x64 map): << 1 px gate
 
+    def test_percentile_calibration_tighter_than_max(self, calibrated):
+        """Percentile scales must be <= max-abs scales and still quantize to
+        comparable accuracy (outliers get clipped, the bulk gets finer
+        resolution)."""
+        model, variables, scales, x = calibrated
+        p_scales = Q.calibrate_activation_scales(
+            lambda b: model.apply(variables, b, train=False), [x], percentile=99.5
+        )
+        assert set(p_scales) == set(scales)
+        assert all(p_scales[k] <= scales[k] + 1e-6 for k in scales)
+        assert any(p_scales[k] < scales[k] * 0.999 for k in scales)
+        ref = model.apply(variables, x, train=False)
+        out = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, p_scales, b, train=False)
+        )(x)
+        heat_d = np.abs(
+            jax.nn.sigmoid(np.asarray(ref[0][-1], np.float32))
+            - jax.nn.sigmoid(np.asarray(out[0][-1], np.float32))
+        ).max()
+        assert heat_d < 0.03, heat_d
+
+    def test_per_channel_calibration(self, calibrated):
+        """Per-input-channel activation scales (folded into the kernel) must
+        be at least as accurate as per-tensor on the same calibration set."""
+        model, variables, scales, x = calibrated
+        c_scales = Q.calibrate_activation_scales(
+            lambda b: model.apply(variables, b, train=False), [x], per_channel=True
+        )
+        assert set(c_scales) == set(scales)
+        some = next(iter(c_scales.values()))
+        assert isinstance(some, list) and len(some) > 1
+        # channel max-abs never exceeds the tensor max-abs
+        for k in scales:
+            assert max(c_scales[k]) <= scales[k] + 1e-5
+        ref = model.apply(variables, x, train=False)
+        out_t = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, scales, b, train=False)
+        )(x)
+        out_c = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, c_scales, b, train=False)
+        )(x)
+
+        def heat_err(out):
+            return np.abs(
+                jax.nn.sigmoid(np.asarray(ref[0][-1], np.float32))
+                - jax.nn.sigmoid(np.asarray(out[0][-1], np.float32))
+            ).max()
+
+        assert heat_err(out_c) < 0.02
+        assert heat_err(out_c) <= heat_err(out_t) * 1.5  # no regression
+
     def test_small_input_convs_left_in_float(self):
         """Convs with < min_in_features input channels (e.g. the 3-channel
         stem) bypass quantization entirely — bitwise equal to float."""
