@@ -22,13 +22,16 @@ def dataset_tree(tmp_path_factory, calibration_file):
     root = tmp_path_factory.mktemp("synth")
     train_dir, val_dir = make_synthetic_dataset_tree(
         str(root), calibration_file, keypoint_config=[1, 3],
-        n_train=1, n_val=1, n_frames=8,
+        n_train=2, n_val=1, n_frames=8,
     )
     return train_dir, val_dir
 
 
 @pytest.fixture(scope="module")
 def train_result(dataset_tree, tmp_path_factory):
+    """Trains to actual (loose) convergence — ~3.5 min on this 1-core host —
+    so the learned-accuracy gate below is meaningful. Measured on this
+    recipe: best_val ~0.005, learned-mode eval mean_cm ~4.3."""
     from object_keypoints_tpu.training.loop import TrainConfig, train
 
     train_dir, val_dir = dataset_tree
@@ -38,14 +41,15 @@ def train_result(dataset_tree, tmp_path_factory):
         val=val_dir,
         keypoint_config=[1, 3],
         batch_size=4,
-        lr=1e-3,
+        lr=1.5e-2,
         features=8,
         dropout=0.0,
-        pool=8,
-        epochs=1,
+        pool=16,
+        epochs=22,
         out_dir=str(out),
         model_overrides=TINY_OVERRIDES,
-        log_every=1,
+        log_every=50,
+        ckpt_every=4,
     )
     return train(config), config
 
@@ -101,4 +105,34 @@ class TestTrainingLoop:
         frame = np.transpose(example["frame"], (2, 0, 1))[None]  # NCHW contract
         objects, heatmap = pipeline(frame)
         assert heatmap.shape == (1, 3, 8, 8) or heatmap.shape[1] == 3
-        assert isinstance(objects, list)  # untrained net may detect 0..n objects
+        assert isinstance(objects, list)
+
+    def test_learned_model_accuracy(self, train_result, dataset_tree):
+        """The learned serve path must actually be accurate: train -> export
+        -> learned-mode evaluate_sequence -> assert the 3D error budget.
+        This is the automated stand-in for the reference's manual
+        eval_model.py run (eval_model.py:129-232); a broken serve path
+        (or diverged training) shows up as mean_cm ~75 with hundreds of
+        spurious detections, vs ~4 cm / ~28 points when healthy."""
+        import os
+
+        from object_keypoints_tpu import evaluation
+        from object_keypoints_tpu.pipeline import LearnedKeypointTrackingPipeline
+
+        result, config = train_result
+        _, val_dir = dataset_tree
+        seq_dir = os.path.join(val_dir, sorted(os.listdir(val_dir))[0])
+        seq = evaluation.Sequence(seq_dir, {"keypoint_config": [1, 3]})
+        pipeline = LearnedKeypointTrackingPipeline(
+            result["export_dir"], False, [64, 64], None,
+            {"keypoint_config": [1, 3]},
+        )
+        results = evaluation.evaluate_sequence(
+            seq, pipeline, ground_truth=False, max_frames=8
+        )
+        summary = results.summary()
+        assert summary["n_points"] > 0, "learned pipeline detected nothing"
+        assert summary["mean_cm"] < 15.0, summary
+        assert summary["missing_pct"] < 25.0, summary
+        # no detection explosion: ~4 GT points/frame over <=8 frames
+        assert summary["n_points"] <= 60, summary
