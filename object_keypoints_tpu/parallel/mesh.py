@@ -24,12 +24,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_distributed():
     """Multi-host init (jax.distributed) — the TPU-native replacement for
-    torch.distributed.init_process_group(backend='nccl')
-    (corner_net_lite/train.py:193-198). No-op on a single host."""
+    torch.distributed.init_process_group(backend='nccl') + mp.spawn rank
+    orchestration (corner_net_lite/train.py:37-44,193-247). No-op when
+    COORDINATOR_ADDRESS is unset (single host).
+
+    On managed TPU slices jax.distributed.initialize() auto-detects the
+    cluster; for manual launches (incl. the 2-process CPU smoke test,
+    tests/test_multihost.py) set COORDINATOR_ADDRESS=host:port,
+    NUM_PROCESSES and PROCESS_ID — the reference's --dist-url /
+    --world-size / --rank flags."""
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def create_mesh(
