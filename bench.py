@@ -18,6 +18,10 @@ serving mode, serving/quantize.py; eligible convs run int8 on the MXU,
 parity gate vs the float path — gated in tests/test_quantize.py every run.
 Set OKT_BENCH_QUANT=0 for the bf16 path, OKT_BENCH_PAIRS=<n> for batch.
 
+OKT_BENCH_MODE=stereo benchmarks the restored stereo architecture instead
+(forward BOTH views -> epipolar match -> Hartley-Sturm/DLT triangulation,
+pipeline/stereo_jit.py), still as one jitted program per batch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -32,6 +36,7 @@ import jax.numpy as jnp
 
 PAIRS = int(os.environ.get("OKT_BENCH_PAIRS", "32"))
 QUANT = os.environ.get("OKT_BENCH_QUANT", "1") != "0"
+MODE = os.environ.get("OKT_BENCH_MODE", "depth")  # depth | stereo
 WARMUP = 3
 ITERS = 20
 BASELINE_FPS = 500.0
@@ -82,6 +87,37 @@ def build():
     else:
         apply_fn = lambda f: model.apply(variables, f, train=False)
 
+    if MODE == "stereo":
+        from object_keypoints_tpu.geometry import StereoCamera
+        from object_keypoints_tpu.pipeline.stereo_jit import (
+            StereoRigArrays,
+            stereo_decode_triangulate,
+        )
+
+        right = (
+            FisheyeCamera(params["Kp"], params["Dp"], params["image_size"])
+            .scale(511.0 / 720.0)
+            .cut(offset)
+            .scale(64.0 / 511.0)
+        )
+        rig = StereoRigArrays.from_stereo_camera(
+            StereoCamera(cam, right, params["T_RL"])
+        )
+
+        @jax.jit
+        def step(frames):
+            outs = apply_fn(frames)
+            heat, _, _ = nhwc_outputs_to_reference(outs, stack=-1)
+            heat = heat.astype(jnp.float32)
+            decoded = jax.vmap(
+                lambda l, r: stereo_decode_triangulate(
+                    l, r, rig, max_peaks=16, epipolar_threshold=3.0
+                )
+            )(heat[:PAIRS], heat[PAIRS:])
+            return decoded.points_3d, decoded.match_valid
+
+        return step, frames
+
     @jax.jit
     def step(frames):
         outs = apply_fn(frames)
@@ -118,13 +154,20 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = PAIRS * ITERS / dt
+    path = (
+        "forward both views+epipolar match+triangulate"
+        if MODE == "stereo"
+        else "forward+decode+3D"
+    )
     print(
         json.dumps(
             {
-                "metric": "stereo_pairs_per_sec_e2e",
+                "metric": "stereo_pairs_per_sec_e2e"
+                if MODE != "stereo"
+                else "stereo_pairs_per_sec_triangulated",
                 "value": round(pairs_per_sec, 2),
-                "unit": "stereo pairs/s (1 chip, 511x511, %s, forward+decode+3D)"
-                % ("int8-PTQ serve" if QUANT else "bf16"),
+                "unit": "stereo pairs/s (1 chip, 511x511, %s, %s)"
+                % ("int8-PTQ serve" if QUANT else "bf16", path),
                 "vs_baseline": round(pairs_per_sec / BASELINE_FPS, 3),
             }
         )

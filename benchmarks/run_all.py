@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""The five BASELINE.md measurement configs, one JSON line each.
+"""The five BASELINE.md measurement configs (+ the stereo e2e serve path),
+one JSON line each.
 
 1. single-image valve heatmap inference (CornerNet-Squeeze backbone, valve
    topology)                                  -> images/s + latency
@@ -11,6 +12,8 @@
                                               -> frames/s through decode
 5. batched video-sequence eval (eval_model semantics over an encoded
    synthetic sequence)                        -> frames/s end-to-end
+6. stereo end-to-end serve: forward both views -> epipolar match ->
+   Hartley-Sturm/DLT as ONE program           -> stereo pairs/s + mm parity
 
 Usage: python benchmarks/run_all.py [--quick]
 """
@@ -181,6 +184,119 @@ def bench_cups_association(iters):
             "objects_found": n_obj}
 
 
+def bench_stereo_e2e(iters, pairs=16):
+    """Config 6: the TRUE stereo architecture end to end — KeypointNet
+    forward on both views, epipolar matching, Hartley-Sturm + DLT
+    triangulation — as ONE jitted program (the path BASELINE.md config #2
+    names; restored from the reference's stale stereo tests,
+    test/test_pipeline.py:171-261). Includes a <=5 mm parity assertion of
+    the jitted geometry vs the host component chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.data import targets as T
+    from object_keypoints_tpu.geometry import (
+        FisheyeCamera, StereoCamera, linalg, load_calibration_params,
+    )
+    from object_keypoints_tpu.models import KeypointNet
+    from object_keypoints_tpu.models.keypoint_net import nhwc_outputs_to_reference
+    from object_keypoints_tpu.pipeline.components import (
+        AssociationComponent, KeypointExtractionComponent, TriangulationComponent,
+    )
+    from object_keypoints_tpu.pipeline.stereo_jit import (
+        StereoRigArrays, stereo_decode_triangulate,
+    )
+
+    params = load_calibration_params("config/calibration.yaml")
+    offset = np.array([(511.0 / 720.0 * 1280.0 - 511.0) / 2.0, 0.0])
+
+    def small(K, D):
+        # camera chain into 64x64 prediction space (eval_model.py:61-69)
+        return (FisheyeCamera(K, D, params["image_size"])
+                .scale(511.0 / 720.0).cut(offset).scale(64.0 / 511.0))
+
+    left = small(params["K"], params["D"])
+    right = small(params["Kp"], params["Dp"])
+    rig_host = StereoCamera(left, right, params["T_RL"])
+    rig = StereoRigArrays.from_stereo_camera(rig_host)
+
+    # ---- parity: analytic heatmaps through jit chain vs host chain ----
+    world = np.array([[0.0, 0.0, 1.0], [0.25, 0.15, 1.0],
+                      [-0.25, -0.25, 1.0], [0.25, -0.25, 1.0]])
+    with_center = np.vstack([world.mean(axis=0, keepdims=True), world])
+    p_l = left.project(with_center)
+    p_r = right.project(
+        np.asarray(linalg.transform_points(params["T_RL"], with_center))
+    )
+    heats = [
+        np.asarray(T.render_heatmaps(
+            jnp.asarray(p[None], jnp.float32), jnp.ones((1, len(p)), bool),
+            (1, 1, 3), (64, 64),
+        ))
+        for p in (p_l, p_r)
+    ]
+    out = stereo_decode_triangulate(
+        jnp.asarray(heats[0]), jnp.asarray(heats[1]), rig,
+        max_peaks=8, epipolar_threshold=3.0,
+    )
+    jit_valid = np.asarray(out.match_valid)
+    jit_left = np.asarray(out.points_left)
+    jit_p3 = np.asarray(out.points_3d)
+
+    extraction = KeypointExtractionComponent(
+        {"keypoint_config": [1, 3]}, (64, 64), max_peaks=8
+    )
+    (kp_l, _), (kp_r, _) = extraction(heats[0][None], heats[1][None])
+    assoc = AssociationComponent(threshold=3.0)
+    assoc.reset(rig_host)
+    tri = TriangulationComponent()
+    tri.reset(rig_host)
+    max_dev = 0.0
+    n_checked = 0
+    for c in range(3):
+        L, R = kp_l[0][c], kp_r[0][c]
+        if not L or not R:
+            continue
+        a = assoc(np.stack(L), np.stack(R))
+        for i, j in enumerate(a):
+            if j < 0:
+                continue
+            p3d_host = tri(np.asarray(L[i])[None], np.asarray(R[j])[None])[0]
+            # find the jit slot holding the same left detection
+            d_slots = np.linalg.norm(jit_left[c] - np.asarray(L[i]), axis=1)
+            k = int(d_slots.argmin())
+            if d_slots[k] < 0.5 and jit_valid[c, k]:
+                max_dev = max(max_dev, float(np.linalg.norm(jit_p3[c, k] - p3d_host)))
+                n_checked += 1
+    assert n_checked >= 4, f"parity check matched only {n_checked} points"
+    assert max_dev < 5e-3, f"jit-vs-host stereo deviation {max_dev * 1000:.2f} mm"
+
+    # ---- throughput: forward both views + stereo decode as one program ----
+    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)
+    frames = jnp.zeros((2 * pairs, 511, 511, 3), jnp.bfloat16)
+    variables = model.init({"params": jax.random.key(0)}, frames[:1], train=False)
+
+    @jax.jit
+    def step(frames):
+        outs = model.apply(variables, frames, train=False)
+        heat, _, _ = nhwc_outputs_to_reference(outs, stack=-1)  # (2B, K, 64, 64)
+        heat = heat.astype(jnp.float32)
+        decoded = jax.vmap(
+            lambda l, r: stereo_decode_triangulate(
+                l, r, rig, max_peaks=8, epipolar_threshold=3.0
+            )
+        )(heat[:pairs], heat[pairs:])
+        return decoded.points_3d, decoded.match_valid
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(size=frames.shape), jnp.bfloat16)
+    dt = _time(lambda: step(data), iters)
+    return {"metric": "stereo_e2e_triangulation", "value": round(pairs / dt, 1),
+            "unit": "stereo pairs/s (forward both views + epipolar match + "
+                    "Hartley-Sturm/DLT, batch %d, bf16)" % pairs,
+            "host_parity_mm": round(max_dev * 1000, 4)}
+
+
 def bench_video_eval(quick):
     """Config 5: full eval path over an encoded synthetic sequence."""
     from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
@@ -222,6 +338,7 @@ def main():
         lambda: bench_overfit(3 if flags.quick else 10),
         lambda: bench_cups_association(iters),
         lambda: bench_video_eval(flags.quick),
+        lambda: bench_stereo_e2e(iters, pairs=4 if flags.quick else 16),
     ):
         print(json.dumps(fn()), flush=True)
 

@@ -83,6 +83,52 @@ class TestStereoJit:
                 d = np.linalg.norm(points - p, axis=1).min()
                 assert d < 5e-2, (c, p, d)
 
+    def test_jit_matches_host_chain_within_5mm(self, rig):
+        """The jitted stereo geometry (grid+Newton Hartley-Sturm, fixed-
+        iteration undistort) must agree with the host component chain
+        (AssociationComponent + TriangulationComponent over cv2) to <=5 mm
+        on the same detections — the BASELINE.md 3D parity budget."""
+        from object_keypoints_tpu.pipeline.components import (
+            AssociationComponent,
+            KeypointExtractionComponent,
+            TriangulationComponent,
+        )
+
+        heat_l, heat_r, *_ = _heatmaps(rig, KEYPOINTS)
+        out = stereo_decode_triangulate(
+            jnp.asarray(heat_l), jnp.asarray(heat_r),
+            StereoRigArrays.from_stereo_camera(rig),
+            max_peaks=8, epipolar_threshold=3.0,
+        )
+        jit_valid = np.asarray(out.match_valid)
+        jit_left = np.asarray(out.points_left)
+        jit_p3 = np.asarray(out.points_3d)
+
+        extraction = KeypointExtractionComponent(CONFIG, (180, 320), max_peaks=8)
+        (kp_l, _), (kp_r, _) = extraction(heat_l[None], heat_r[None])
+        assoc = AssociationComponent(threshold=3.0)
+        assoc.reset(rig)
+        tri = TriangulationComponent()
+        tri.reset(rig)
+
+        n_checked = 0
+        for c in range(3):
+            L, R = kp_l[0][c], kp_r[0][c]
+            if not L or not R:
+                continue
+            a = assoc(np.stack(L), np.stack(R))
+            for i, j in enumerate(a):
+                if j < 0:
+                    continue
+                p3d_host = tri(np.asarray(L[i])[None], np.asarray(R[j])[None])[0]
+                d_slots = np.linalg.norm(jit_left[c] - np.asarray(L[i]), axis=1)
+                k = int(d_slots.argmin())
+                if d_slots[k] < 0.5 and jit_valid[c, k]:
+                    dev = float(np.linalg.norm(jit_p3[c, k] - p3d_host))
+                    assert dev < 5e-3, (c, k, dev)
+                    n_checked += 1
+        assert n_checked >= 4, f"only {n_checked} matched points compared"
+
     def test_host_facade(self, rig):
         heat_l, heat_r, *_ = _heatmaps(rig, KEYPOINTS)
         pipeline = StereoKeypointPipeline(CONFIG, max_peaks=8, epipolar_threshold=3.0)
