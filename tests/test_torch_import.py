@@ -1,0 +1,302 @@
+"""torch -> flax weight import parity (serving/torch_import.py).
+
+Torch restatements of the reference blocks (convolution/residual/
+fire_module, utils.py:143-185 + CornerNet_Squeeze.py:10-30 semantics, same
+state_dict naming) generate random-weight checkpoints; importing them into
+our flax modules must reproduce the torch forward to float tolerance —
+the gate that makes reference-checkpoint parity checkable.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from object_keypoints_tpu.models import KeypointNet  # noqa: E402
+from object_keypoints_tpu.models.blocks import (  # noqa: E402
+    ConvBlock,
+    FireModule,
+    Residual,
+)
+from object_keypoints_tpu.serving import torch_import as TI  # noqa: E402
+
+
+# ---- torch restatements (reference block semantics + state_dict names) ----
+
+class TConvolution(tnn.Module):
+    def __init__(self, k, inp_dim, out_dim, stride=1, with_bn=True):
+        super().__init__()
+        pad = (k - 1) // 2
+        self.conv = tnn.Conv2d(inp_dim, out_dim, (k, k), padding=(pad, pad),
+                               stride=(stride, stride), bias=not with_bn)
+        self.bn = tnn.BatchNorm2d(out_dim) if with_bn else tnn.Sequential()
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TResidual(tnn.Module):
+    def __init__(self, inp_dim, out_dim, k=3, stride=1):
+        super().__init__()
+        p = (k - 1) // 2
+        self.conv1 = tnn.Conv2d(inp_dim, out_dim, (k, k), padding=(p, p),
+                                stride=(stride, stride), bias=False)
+        self.bn1 = tnn.BatchNorm2d(out_dim)
+        self.conv2 = tnn.Conv2d(out_dim, out_dim, (k, k), padding=(p, p), bias=False)
+        self.bn2 = tnn.BatchNorm2d(out_dim)
+        self.skip = (
+            tnn.Sequential(
+                tnn.Conv2d(inp_dim, out_dim, (1, 1), stride=(stride, stride),
+                           bias=False),
+                tnn.BatchNorm2d(out_dim),
+            )
+            if stride != 1 or inp_dim != out_dim
+            else tnn.Sequential()
+        )
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + self.skip(x))
+
+
+class TFire(tnn.Module):
+    def __init__(self, inp_dim, out_dim, sr=2, stride=1):
+        super().__init__()
+        sq = out_dim // sr
+        self.conv1 = tnn.Conv2d(inp_dim, sq, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(sq)
+        self.conv_1x1 = tnn.Conv2d(sq, out_dim // 2, 1, stride=stride, bias=False)
+        self.conv_3x3 = tnn.Conv2d(sq, out_dim // 2, 3, padding=1, stride=stride,
+                                   groups=sq, bias=False)
+        self.bn2 = tnn.BatchNorm2d(out_dim)
+        self.skip = stride == 1 and inp_dim == out_dim
+
+    def forward(self, x):
+        y = self.bn1(self.conv1(x))
+        y = self.bn2(torch.cat((self.conv_1x1(y), self.conv_3x3(y)), 1))
+        return torch.relu(y + x) if self.skip else torch.relu(y)
+
+
+def _seq(*mods):
+    return tnn.Sequential(*mods)
+
+
+class THgModule(tnn.Module):
+    """2-level fire hg_module restatement (modules.py:25-66 +
+    CornerNet_Squeeze makers: stride-2 fire down, ConvTranspose up)."""
+
+    def __init__(self, n, dims, mods):
+        super().__init__()
+        curr_dim, next_dim = dims[0], dims[1]
+        curr_mod, next_mod = mods[0], mods[1]
+        self.up1 = _seq(*[TFire(curr_dim, curr_dim) for _ in range(curr_mod)])
+        self.low1 = _seq(
+            TFire(curr_dim, next_dim, stride=2),
+            *[TFire(next_dim, next_dim) for _ in range(1, curr_mod)],
+        )
+        if n > 1:
+            self.low2 = THgModule(n - 1, dims[1:], mods[1:])
+        else:
+            self.low2 = _seq(*[TFire(next_dim, next_dim) for _ in range(next_mod)])
+        self.low3 = _seq(
+            *[TFire(next_dim, next_dim) for _ in range(curr_mod - 1)],
+            TFire(next_dim, curr_dim),
+        )
+        self.up2 = tnn.ConvTranspose2d(curr_dim, curr_dim, 4, stride=2, padding=1)
+
+    def forward(self, x):
+        up1 = self.up1(x)
+        low = self.low3(self.low2(self.low1(x)))
+        return up1 + self.up2(low)
+
+
+def _pred(int_features, out):
+    return _seq(
+        TConvolution(1, 8, int_features),
+        TConvolution(1, int_features, 32),
+        tnn.Conv2d(32, out, (1, 1), bias=True),
+    )
+
+
+class TTinyKeypointNet(tnn.Module):
+    """Reference KeypointNet (perception/models.py:60-85) at tiny geometry:
+    stem /8, 2 stacks of 2-level fire hourglass, 3 heads x 2 stacks."""
+
+    def __init__(self, heatmaps=3, features=8):
+        super().__init__()
+        dims, mods = [8, 8, 16], [1, 1, 1]
+
+        class Backbone(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pre = _seq(
+                    TConvolution(7, 3, 4, stride=2),
+                    TResidual(4, 8, stride=2),
+                    TResidual(8, 8, stride=2),
+                )
+                self.hgs = tnn.ModuleList([THgModule(2, dims, mods) for _ in range(2)])
+                self.cnvs = tnn.ModuleList([TConvolution(3, 8, 8) for _ in range(2)])
+                self.inters = tnn.ModuleList([TResidual(8, 8)])
+                self.inters_ = tnn.ModuleList(
+                    [_seq(tnn.Conv2d(8, 8, 1, bias=False), tnn.BatchNorm2d(8))]
+                )
+                self.cnvs_ = tnn.ModuleList(
+                    [_seq(tnn.Conv2d(8, 8, 1, bias=False), tnn.BatchNorm2d(8))]
+                )
+
+            def forward(self, x):
+                inter = self.pre(x)
+                outs = []
+                for i in range(2):
+                    cnv = self.cnvs[i](self.hgs[i](inter))
+                    outs.append(cnv)
+                    if i == 0:
+                        inter = torch.relu(self.inters_[0](inter) + self.cnvs_[0](cnv))
+                        inter = self.inters[0](inter)
+                return outs
+
+        self.backbone = Backbone()
+        self.heatmap_head = tnn.Module()
+        self.depth_head = tnn.Module()
+        self.center_head = tnn.Module()
+        for head, out in (("heatmap", heatmaps), ("depth", heatmaps),
+                          ("center", (heatmaps - 1) * 2)):
+            mod = getattr(self, f"{head}_head")
+            mod.output_head1 = _pred(features, out)
+            mod.output_head2 = _pred(features, out)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        return (
+            [self.heatmap_head.output_head1(feats[0]),
+             self.heatmap_head.output_head2(feats[1])],
+            [self.depth_head.output_head1(feats[0]),
+             self.depth_head.output_head2(feats[1])],
+            [self.center_head.output_head1(feats[0]),
+             self.center_head.output_head2(feats[1])],
+        )
+
+
+def _rand_nchw(rng, shape):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def _import_block(tmod, fmod, tfn, fshape, rng, **import_kwargs):
+    """Run one torch block + its flax twin after import; return outputs."""
+    tmod.eval()
+    x = _rand_nchw(rng, fshape)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x)).numpy()
+    imp = TI._Importer({k: v for k, v in tmod.state_dict().items()})
+    tfn(imp)
+    variables = {"params": imp.params, "batch_stats": imp.stats}
+    out = fmod.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    return ref, np.asarray(out).transpose(0, 3, 1, 2)
+
+
+class TestBlockImports:
+    def test_convolution(self):
+        rng = np.random.default_rng(0)
+        t = TConvolution(7, 3, 8, stride=2)
+        ref, out = _import_block(
+            t, ConvBlock(8, kernel=7, stride=2),
+            lambda imp: imp.convolution("", ()), (2, 3, 32, 32), rng,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_residual_with_skip(self):
+        rng = np.random.default_rng(1)
+        t = TResidual(4, 8, stride=2)
+        ref, out = _import_block(
+            t, Residual(8, stride=2),
+            lambda imp: imp.residual("", (), has_skip=True), (2, 4, 16, 16), rng,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_fire_grouped_conv(self):
+        rng = np.random.default_rng(2)
+        t = TFire(8, 8)
+        ref, out = _import_block(
+            t, FireModule(8), lambda imp: imp.fire("", ()), (2, 8, 16, 16), rng,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_conv_transpose(self):
+        """ConvTranspose2d(4, s2, p1) == flax ConvTranspose(4, s2, SAME) with
+        the flipped-transposed kernel (the up2 unpool)."""
+        from flax import linen as nn
+
+        rng = np.random.default_rng(3)
+        t = tnn.ConvTranspose2d(8, 8, 4, stride=2, padding=1)
+        t.eval()
+        x = _rand_nchw(rng, (2, 8, 8, 8))
+        with torch.no_grad():
+            ref = t(torch.from_numpy(x)).numpy()
+        f = nn.ConvTranspose(8, (4, 4), strides=(2, 2), padding="SAME")
+        variables = {"params": {
+            "kernel": jnp.asarray(TI.conv_transpose_kernel(t.weight)),
+            "bias": jnp.asarray(TI._t(t.bias)),
+        }}
+        out = f.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-5
+        )
+
+
+class TestFullImport:
+    def test_tiny_keypoint_net_forward_parity(self):
+        """Full state_dict -> flax tree import: identical forward outputs
+        (heatmap/depth/center logits, both stacks) to 1e-4."""
+        torch.manual_seed(0)
+        tmodel = TTinyKeypointNet()
+        tmodel.eval()
+        # randomize BN running stats so the import is actually exercised
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+        variables = TI.import_keypoint_net(
+            tmodel.state_dict(), stacks=2, levels=2, mods=(1, 1, 1)
+        )
+        model = KeypointNet(
+            heatmaps_out=3, features=8, dropout=0.0, stacks=2, levels=2,
+            dims=(8, 8, 16), mods=(1, 1, 1), stem_features=(4, 8), cnv_dim=8,
+        )
+        rng = np.random.default_rng(4)
+        x = _rand_nchw(rng, (2, 3, 64, 64))
+        with torch.no_grad():
+            theat, tdepth, tcent = tmodel(torch.from_numpy(x))
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+        )
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out.heatmaps[s]).transpose(0, 3, 1, 2),
+                theat[s].numpy(), atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.depth[s]).transpose(0, 3, 1, 2),
+                tdepth[s].numpy(), atol=1e-4,
+            )
+            # reference CenterHead reshapes (N, 2T, H, W) -> (N, T, 2, H, W)
+            # (perception/models.py:49-53)
+            n, c2, h, w = tcent[s].shape
+            np.testing.assert_allclose(
+                np.asarray(out.centers[s]).transpose(0, 3, 4, 1, 2),
+                tcent[s].numpy().reshape(n, c2 // 2, 2, h, w), atol=1e-4,
+            )
+
+    def test_unmapped_keys_raise(self):
+        torch.manual_seed(1)
+        tmodel = TTinyKeypointNet()
+        sd = {k: v for k, v in tmodel.state_dict().items()}
+        sd["backbone.bogus.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            TI.import_keypoint_net(sd, stacks=2, levels=2, mods=(1, 1, 1))
