@@ -138,34 +138,114 @@ def calibrate_activation_scales(apply_fn: Callable, batches: Iterable,
     return {k: float(v) for k, v in host.items()}
 
 
+class QuantizedActivation:
+    """int8 tensor + its activation max-abs scale, handed between modules.
+
+    Used for the stem's int8 handoff: a producer module's output is
+    quantized ONCE and stored int8 in HBM (half the bf16 bytes), and the
+    consumer convs — which would quantize the same tensor with the same
+    calibrated scale anyway — consume it directly. Numerics are bit-equal
+    to the unfused path; only the intermediate's dtype in memory changes.
+    Exposes just enough array surface (shape/ndim/dtype) for module code
+    that inspects its input (e.g. Residual reads x.shape[-1]).
+    """
+
+    __slots__ = ("q", "scale")
+
+    def __init__(self, q, scale: float):
+        self.q = q
+        self.scale = scale
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def dtype(self):  # the logical (dequantized) dtype is irrelevant here
+        return self.q.dtype
+
+
+# Producer module path -> calibration key of the consumer conv that sets the
+# handoff scale. The stem chain (CornerNet_Squeeze.py:66-72): pre_conv's
+# output is consumed only by pre_res1's Conv_0/Conv_2 (same tensor, same
+# calibrated scale), pre_res1's only by pre_res2's. pre_res2's output feeds
+# fire modules whose identity-skip adds x in f32 — not eligible.
+STEM_HANDOFFS = {
+    "backbone/pre_conv": "backbone/pre_res1/Conv_0",
+    "backbone/pre_res1": "backbone/pre_res2/Conv_0",
+}
+
+
 def make_quantize_interceptor(
     scales: Dict[str, float],
     min_in_features: int = 16,
     skip: Optional[Callable[[str], bool]] = None,
+    handoffs: Optional[Dict[str, str]] = None,
 ):
-    """Interceptor replacing eligible convs with calibrated int8 kernels."""
+    """Interceptor replacing eligible convs with calibrated int8 kernels.
+
+    ``handoffs`` ({producer module path: consumer scale key}) stores the
+    named producers' outputs as int8 in HBM and feeds consumer convs
+    directly. See _default_handoffs for why this defaults to off."""
+    if handoffs is None:
+        handoffs = _default_handoffs()
 
     def interceptor(next_fn, args, kwargs, context):
         m = context.module
+        path = "/".join(m.path) if m.path else ""
+        if (
+            context.method_name == "__call__"
+            and path in handoffs
+            and type(m).__name__ in ("ConvBlock", "Residual")
+        ):
+            consumer_scale = scales.get(handoffs[path])
+            y = next_fn(*args, **kwargs)
+            if consumer_scale is None or isinstance(consumer_scale, (list, tuple)):
+                return y
+            s_in = consumer_scale / 127.0
+            q = jnp.clip(
+                jnp.round(y.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
+            ).astype(jnp.int8)
+            return QuantizedActivation(q, consumer_scale)
         if not _is_quantizable(m, context.method_name):
+            # unwrap for any non-conv consumer of a handoff (defensive; the
+            # stem chain has none)
+            if args and isinstance(args[0], QuantizedActivation):
+                x = args[0]
+                deq = x.q.astype(jnp.float32) * (x.scale / 127.0)
+                return next_fn(deq, *args[1:], **kwargs)
             return next_fn(*args, **kwargs)
         path = _conv_path(m)
-        s_act = scales.get(path)
-        per_channel = isinstance(s_act, (list, tuple)) or (
-            hasattr(s_act, "ndim") and getattr(s_act, "ndim", 0) > 0
+        x = args[0]
+        wrapped = isinstance(x, QuantizedActivation)
+        s_act = x.scale if wrapped else scales.get(path)
+        per_channel = not wrapped and (
+            isinstance(s_act, (list, tuple))
+            or (hasattr(s_act, "ndim") and getattr(s_act, "ndim", 0) > 0)
         )
+
+        def fallback():
+            if wrapped:
+                deq = x.q.astype(jnp.float32) * (x.scale / 127.0)
+                return next_fn(deq.astype(m.dtype or jnp.float32),
+                               *args[1:], **kwargs)
+            return next_fn(*args, **kwargs)
+
         if (
             s_act is None
             or (not per_channel and s_act <= 0.0)
             or (per_channel and max(s_act) <= 0.0)
             or (skip is not None and skip(path))
         ):
-            return next_fn(*args, **kwargs)
+            return fallback()
         kernel = m.get_variable("params", "kernel")  # HW I O
         if kernel is None or kernel.shape[-2] < min_in_features:
-            return next_fn(*args, **kwargs)
+            return fallback()
 
-        x = args[0]
         w = kernel.astype(jnp.float32)
         if per_channel:
             # per-input-channel activation scales, folded into the kernel's
@@ -174,9 +254,13 @@ def make_quantize_interceptor(
             w = w * s_in.reshape((1,) * (w.ndim - 2) + (-1, 1))
         else:
             s_in = s_act / 127.0
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
-        ).astype(jnp.int8)
+        if wrapped:
+            xq = x.q  # already quantized at exactly this scale by the producer
+            x = x.q  # for the shape/strides helpers below
+        else:
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
+            ).astype(jnp.int8)
 
         s_w = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
         s_w = jnp.maximum(s_w, 1e-12)
@@ -208,25 +292,46 @@ def make_quantize_interceptor(
         y = y.astype(jnp.float32) * (s_w if per_channel else s_in * s_w)
         if m.use_bias:
             y = y + m.get_variable("params", "bias").astype(jnp.float32)
-        out_dtype = m.dtype or x.dtype
+        out_dtype = m.dtype or (jnp.float32 if wrapped else x.dtype)
         return y.astype(out_dtype)
 
     return interceptor
 
 
+def _default_handoffs() -> Dict[str, str]:
+    """Off unless opted in via OKT_INT8_HANDOFF=1.
+
+    Measured on the chip @32 frames: XLA's fusion ALREADY materializes the
+    stem intermediates as int8 (the two consumers' quantize ops CSE into the
+    producer's epilogue), so the explicit handoff is perf-neutral on the
+    stem (8.12 -> 8.06 ms) and pessimizes the full model (13.3 -> 33.3 ms,
+    a fusion/layout pathology). Kept as an opt-in because the numerics are
+    proven identical and other model geometries may fuse differently."""
+    import os
+
+    if os.environ.get("OKT_INT8_HANDOFF", "0") == "1":
+        return STEM_HANDOFFS
+    return {}
+
+
 @contextlib.contextmanager
 def quantized(scales: Dict[str, float], min_in_features: int = 16,
-              skip: Optional[Callable[[str], bool]] = None):
+              skip: Optional[Callable[[str], bool]] = None,
+              handoffs: Optional[Dict[str, str]] = None):
     """Context manager: all eligible convs inside run int8."""
+    if handoffs is None:
+        handoffs = _default_handoffs()
     with nn.intercept_methods(
-        make_quantize_interceptor(scales, min_in_features=min_in_features, skip=skip)
+        make_quantize_interceptor(scales, min_in_features=min_in_features,
+                                  skip=skip, handoffs=handoffs)
     ):
         yield
 
 
 def quantized_apply(model: nn.Module, variables, scales: Dict[str, float], *args,
-                    min_in_features: int = 16, **kwargs):
+                    min_in_features: int = 16,
+                    handoffs: Optional[Dict[str, str]] = None, **kwargs):
     """``model.apply`` with eligible convs running int8 (jit-safe: call
     inside your own jit, or wrap the returned closure)."""
-    with quantized(scales, min_in_features=min_in_features):
+    with quantized(scales, min_in_features=min_in_features, handoffs=handoffs):
         return model.apply(variables, *args, **kwargs)

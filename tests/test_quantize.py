@@ -134,6 +134,25 @@ class TestAccuracy:
         assert heat_err(out_c) < 0.02
         assert heat_err(out_c) <= heat_err(out_t) * 1.5  # no regression
 
+    def test_stem_int8_handoff_numerics_unchanged(self, calibrated):
+        """The stem int8 handoff (pre_conv/pre_res1 outputs stored int8,
+        consumer convs fed directly) must be numerically identical to the
+        unfused path — the consumers see the exact same quantized values."""
+        model, variables, scales, x = calibrated
+        with_h = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, scales, b,
+                                        train=False, handoffs=Q.STEM_HANDOFFS)
+        )(x)
+        without_h = jax.jit(
+            lambda b: Q.quantized_apply(model, variables, scales, b,
+                                        train=False, handoffs={})
+        )(x)
+        for a, b in zip(jax.tree.leaves(with_h), jax.tree.leaves(without_h)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-4, rtol=1e-4,
+            )
+
     def test_small_input_convs_left_in_float(self):
         """Convs with < min_in_features input channels (e.g. the 3-channel
         stem) bypass quantization entirely — bitwise equal to float."""
