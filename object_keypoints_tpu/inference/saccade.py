@@ -57,6 +57,92 @@ def crop_zoom(image, center, size, out_size):
     return canvas, np.array([cty - height // 2, ctx - width // 2], np.float32)
 
 
+def _device_crop_zoom_batch(image, centers_yx, crop_sizes_hw, out_size):
+    """Batched crop-zoom as ONE jitted program (TPU-first replacement for
+    the reference's per-crop GPU interpolates, cornernet_saccade.py:15-39).
+
+    image: (H, W, 3) f32; centers_yx: (M, 2); crop_sizes_hw: (M, 2) float.
+    Returns (canvases (M, oh, ow, 3), offsets (M, 2)). Same geometry as
+    :func:`crop_zoom` (int-truncated window edges, zero padding outside the
+    image); the bilinear resample is jax.image's, which matches cv2's
+    INTER_LINEAR up to boundary convention (gated in tests/test_saccade.py).
+    """
+    import jax
+    import jax.image
+
+    oh, ow = out_size
+    im_h, im_w = image.shape[:2]
+
+    @jax.jit
+    def crop_all(img, centers, sizes):
+        def one(center, size):
+            cty = center[0].astype(jnp.int32)
+            ctx = center[1].astype(jnp.int32)
+            height = size[0].astype(jnp.int32)
+            width = size[1].astype(jnp.int32)
+            scale = oh / jnp.maximum(jnp.maximum(height, width), 1).astype(jnp.float32)
+
+            x0 = jnp.maximum(0, ctx - width // 2)
+            x1 = jnp.minimum(ctx + width // 2, im_w)
+            y0 = jnp.maximum(0, cty - height // 2)
+            y1 = jnp.minimum(cty + height // 2, im_h)
+            # destination rectangle (same int arithmetic as crop_zoom)
+            oy0 = oh // 2 - ((cty - y0).astype(jnp.float32) * scale).astype(jnp.int32)
+            oy1 = oh // 2 + ((y1 - cty).astype(jnp.float32) * scale).astype(jnp.int32)
+            ox0 = ow // 2 - ((ctx - x0).astype(jnp.float32) * scale).astype(jnp.int32)
+            ox1 = ow // 2 + ((x1 - ctx).astype(jnp.float32) * scale).astype(jnp.int32)
+
+            # resample: canvas pixel (oy, ox) <- img(y0 + (oy-oy0)/sy, ...)
+            # with the cv2.resize pixel-center convention
+            sy = (y1 - y0).astype(jnp.float32) / jnp.maximum(oy1 - oy0, 1)
+            sx = (x1 - x0).astype(jnp.float32) / jnp.maximum(ox1 - ox0, 1)
+            oys = jnp.arange(oh, dtype=jnp.float32)
+            oxs = jnp.arange(ow, dtype=jnp.float32)
+            src_y = (oys - oy0 + 0.5) * sy - 0.5 + y0
+            src_x = (oxs - ox0 + 0.5) * sx - 0.5 + x0
+
+            def sample_axis(coords, lo, hi):
+                # replicate-clamp at the PATCH border like cv2.resize
+                c = jnp.clip(coords, lo.astype(jnp.float32),
+                             hi.astype(jnp.float32) - 1.001)
+                i0 = jnp.floor(c).astype(jnp.int32)
+                frac = c - i0
+                return i0, frac
+
+            yi, yf = sample_axis(src_y, y0, y1)
+            xi, xf = sample_axis(src_x, x0, x1)
+            g00 = img[yi][:, xi]
+            g01 = img[yi][:, jnp.minimum(xi + 1, im_w - 1)]
+            g10 = img[jnp.minimum(yi + 1, im_h - 1)][:, xi]
+            g11 = img[jnp.minimum(yi + 1, im_h - 1)][:, jnp.minimum(xi + 1, im_w - 1)]
+            interp = (
+                g00 * ((1 - yf)[:, None, None] * (1 - xf)[None, :, None])
+                + g01 * ((1 - yf)[:, None, None] * xf[None, :, None])
+                + g10 * (yf[:, None, None] * (1 - xf)[None, :, None])
+                + g11 * (yf[:, None, None] * xf[None, :, None])
+            )
+            inside = (
+                (jnp.arange(oh)[:, None] >= oy0)
+                & (jnp.arange(oh)[:, None] < oy1)
+                & (jnp.arange(ow)[None, :] >= ox0)
+                & (jnp.arange(ow)[None, :] < ox1)
+            )
+            canvas = jnp.where(inside[..., None], interp, 0.0)
+            offset = jnp.stack(
+                [(cty - height // 2).astype(jnp.float32),
+                 (ctx - width // 2).astype(jnp.float32)]
+            )
+            return canvas, offset
+
+        return jax.vmap(one)(centers, sizes)
+
+    return crop_all(
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(centers_yx, jnp.float32),
+        jnp.asarray(crop_sizes_hw, jnp.float32),
+    )
+
+
 def att_nms(atts, kernel_sizes):
     """Max-pool NMS per attention map (cornernet_saccade.py:49-55).
     atts: list of (N, h, w, 1) NHWC maps."""
@@ -136,9 +222,24 @@ def location_nms(locations, thresh=15):
     return np.stack(kept)
 
 
-def _prepare_images(config, image, locations):
-    """(cornernet_saccade.py:223-233)."""
+def _prepare_images(config, image, locations, device_crops: bool = False):
+    """(cornernet_saccade.py:223-233). With ``device_crops`` the whole crop
+    batch runs as one jitted program padded to att_max_crops (static shape,
+    one compile) instead of per-crop host cv2 resizes."""
     input_size = config["input_size"]
+    if device_crops and len(locations):
+        cap = max(int(config["att_max_crops"]), len(locations))
+        padded = np.ones((cap, 3), np.float32)
+        padded[: len(locations)] = locations[:, :3]
+        sizes = np.stack(
+            [np.floor(input_size[0] / padded[:, 2]),
+             np.floor(input_size[1] / padded[:, 2])], axis=1
+        ).astype(np.float32)
+        canvases, offsets = _device_crop_zoom_batch(
+            image, padded[:, :2], sizes, tuple(input_size)
+        )
+        m = len(locations)
+        return np.asarray(canvases[:m]), np.asarray(offsets[:m])
     images = np.zeros((len(locations), input_size[0], input_size[1], 3), np.float32)
     offsets = np.zeros((len(locations), 2), np.float32)
     for ind, (y, x, scale) in enumerate(locations[:, :3]):
@@ -160,11 +261,14 @@ def _rescale_remap(config, dets, scales, offsets):
     ys += offsets[:, 0][:, None, None]
 
 
-def cornernet_saccade_inference(config, decode_fn, image) -> Dict[int, np.ndarray]:
+def cornernet_saccade_inference(config, decode_fn, image,
+                                device_crops: bool = False) -> Dict[int, np.ndarray]:
     """Full two-stage saccade inference (cornernet_saccade.py:300-400).
 
     decode_fn(images_nhwc, no_att) -> (detections (B, num_dets, 8),
     atts: list of (B, h, w, 1) sigmoided attention maps or None).
+    ``device_crops``: batch the zoom crops as one jitted device program
+    (fixed att_max_crops capacity) instead of per-crop host resizes.
     """
     init_sizes = config["init_sizes"]
     ref_dets = config["ref_dets"]
@@ -186,7 +290,8 @@ def cornernet_saccade_inference(config, decode_fn, image) -> Dict[int, np.ndarra
         [[height // 2, width // 2, s / max(height, width)] for s in init_sizes],
         np.float32,
     )
-    images, offsets = _prepare_images(config, norm, locations)
+    images, offsets = _prepare_images(config, norm, locations,
+                                      device_crops=device_crops)
     dets, atts = decode_fn(jnp.asarray(images), False)
     dets = np.array(dets, copy=True)
     atts = att_nms(atts, att_nms_ks)
@@ -213,7 +318,8 @@ def cornernet_saccade_inference(config, decode_fn, image) -> Dict[int, np.ndarra
         num_crops += len(locations)
         no_att = ind == num_iterations
 
-        images, offsets = _prepare_images(config, norm, locations)
+        images, offsets = _prepare_images(config, norm, locations,
+                                          device_crops=device_crops)
         dets, atts = decode_fn(jnp.asarray(images), no_att)
         dets = np.array(dets, copy=True)
         _rescale_remap(config, dets, locations[:, 2], offsets)

@@ -61,6 +61,60 @@ class TestPieces:
         np.testing.assert_allclose(locs[0, :2], [16.0, 32.0])
 
 
+class TestDeviceCrops:
+    def test_device_crop_batch_matches_host(self):
+        """The jitted batched crop-zoom must match the host cv2 path
+        (same window geometry; bilinear resample to ~visual tolerance)."""
+        from object_keypoints_tpu.inference.saccade import (
+            _device_crop_zoom_batch,
+            crop_zoom,
+        )
+
+        rng = np.random.default_rng(0)
+        image = rng.uniform(0, 1, size=(96, 120, 3)).astype(np.float32)
+        # interior, border-clipped, and zoom-out cases
+        cases = [((48.0, 60.0), (32, 32)), ((8.0, 8.0), (40, 40)),
+                 ((80.0, 110.0), (64, 48)), ((48.0, 60.0), (128, 160))]
+        centers = np.array([c for c, _ in cases], np.float32)
+        sizes = np.array([s for _, s in cases], np.float32)
+        dev_imgs, dev_offs = _device_crop_zoom_batch(image, centers, sizes, (64, 64))
+        for i, (center, size) in enumerate(cases):
+            host_img, host_off = crop_zoom(image, center, (int(size[0]), int(size[1])), (64, 64))
+            np.testing.assert_allclose(np.asarray(dev_offs[i]), host_off)
+            d = np.abs(np.asarray(dev_imgs[i]) - host_img)
+            assert np.quantile(d, 0.99) < 2e-2, (i, np.quantile(d, 0.99))
+            assert d.mean() < 5e-3, (i, d.mean())
+
+    def test_full_inference_with_device_crops(self):
+        """The two-stage driver runs end-to-end with device crops on."""
+        config = DetectionConfig({
+            "categories": 2, "input_size": [64, 64], "output_sizes": [[16, 16]],
+            "init_sizes": [32], "att_max_crops": 4,
+            "att_thresholds": [0.3, 0.3], "att_scales": [[1, 2, 4], [1, 2, 4]],
+            "att_nms_ks": [3, 3, 3], "nms_algorithm": "exp_soft_nms",
+            "max_per_image": 10, "ref_dets": True,
+        })
+
+        def decode_fn(images, no_att):
+            n = images.shape[0]
+            dets = np.full((n, 6, 8), -1.0, np.float32)
+            dets[:, 0] = [2.0, 2.0, 8.0, 8.0, 0.8, 0.8, 0.8, 1.0]
+            atts = None
+            if not no_att:
+                a1 = np.zeros((n, 4, 4, 1), np.float32)
+                a1[:, 2, 2, 0] = 0.9
+                atts = [jnp.asarray(a1),
+                        jnp.asarray(np.zeros((n, 8, 8, 1), np.float32)),
+                        jnp.asarray(np.zeros((n, 16, 16, 1), np.float32))]
+            return jnp.asarray(dets), atts
+
+        image = np.zeros((128, 128, 3), np.uint8)
+        out = cornernet_saccade_inference(config, decode_fn, image,
+                                          device_crops=True)
+        assert set(out.keys()) == {1, 2}
+        assert out[2].shape[0] >= 1
+
+
 class TestFullSaccade:
     def test_two_stage_with_stub(self):
         config = DetectionConfig({
