@@ -75,10 +75,19 @@ class TrainConfig:
         return len(list(self.keypoint_config)) + 1
 
 
-def _build_sequences(root: str, keypoint_config, **kwargs):
+def _build_sequences(root: str, keypoint_config, seed: Optional[int] = None,
+                     **kwargs):
+    """Per-sequence datasets; ``seed`` makes the augmentation streams
+    deterministic (the reference seeds its DataLoader workers the same way,
+    scripts/train.py:41-43)."""
     dirs = sorted(os.path.join(root, d) for d in os.listdir(root))
-    return [SceneDataset(d, {"keypoint_config": list(keypoint_config)}, **kwargs)
-            for d in dirs]
+    return [
+        SceneDataset(
+            d, {"keypoint_config": list(keypoint_config)},
+            seed=None if seed is None else seed + i, **kwargs,
+        )
+        for i, d in enumerate(dirs)
+    ]
 
 
 def build_model(config: TrainConfig) -> KeypointNet:
@@ -104,7 +113,8 @@ def train(config: TrainConfig) -> dict:
     sharding = batch_sharding(mesh)
     model = build_model(config)
 
-    train_sets = _build_sequences(config.train, config.keypoint_config, augment=True)
+    train_sets = _build_sequences(config.train, config.keypoint_config,
+                                  seed=config.seed, augment=True)
     val_sets = _build_sequences(config.val, config.keypoint_config,
                                 augment=False, include_pose=True)
 
