@@ -194,6 +194,30 @@ class TestStereo:
         err = np.linalg.norm(ours - ref, axis=1)
         assert err.max() < 5e-3, err.max()  # north-star 3D parity gate
 
+    def test_triangulate_solve_matches_eigh(self, stereo):
+        """The fast inhomogeneous DLT (default) agrees with the exact
+        homogeneous eigensolve within the 5 mm parity budget even on
+        UNCORRECTED noisy points (after Hartley-Sturm correction — the real
+        serve path, gated by test_triangulate_matches_cv2_chain_with_noise —
+        the two coincide much tighter)."""
+        from object_keypoints_tpu.geometry.stereo import triangulate_linear
+
+        pts = _random_points(24, seed=15)
+        p_l, p_r = self._project_pair(stereo, pts)
+        rng = np.random.default_rng(22)
+        p_l = p_l + rng.normal(scale=0.5, size=p_l.shape)
+        p_r = p_r + rng.normal(scale=0.5, size=p_r.shape)
+        import jax.numpy as jnp
+
+        P1 = jnp.asarray(stereo.left_camera.K @ np.eye(3, 4))
+        P2 = jnp.asarray(stereo.right_camera.K @ stereo.T_RL[:3])
+        a = np.asarray(triangulate_linear(P1, P2, jnp.asarray(p_l), jnp.asarray(p_r)))
+        b = np.asarray(
+            triangulate_linear(P1, P2, jnp.asarray(p_l), jnp.asarray(p_r),
+                               method="eigh")
+        )
+        assert np.linalg.norm(a - b, axis=1).max() < 5e-3
+
     def test_correct_matches_vs_cv2(self, stereo):
         pts = _random_points(16, seed=14)
         p_l, p_r = self._project_pair(stereo, pts)
