@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 
-PAIRS = int(os.environ.get("OKT_BENCH_PAIRS", "32"))
+PAIRS = int(os.environ.get("OKT_BENCH_PAIRS", "48"))  # sweep r2: 32/48/64 -> 1133/1153/1158 pairs/s; 48 = near-best at 2/3 the memory
 QUANT = os.environ.get("OKT_BENCH_QUANT", "1") != "0"
 MODE = os.environ.get("OKT_BENCH_MODE", "depth")  # depth | stereo
 WARMUP = 3
@@ -146,6 +146,12 @@ def main():
     for _ in range(WARMUP):
         out = step(frames)
     jax.block_until_ready(out)
+
+    profile_dir = os.environ.get("OKT_BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out = step(frames)
+            jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -127,11 +127,15 @@ def bench_overfit(iters):
     # compile variant; steady state starts at step 2
     state, first = train_step(model, state, batch, key)
     first_loss = float(first["loss"])
-    state, _ = train_step(model, state, batch, key)
+    state, warm = train_step(model, state, batch, key)
+    jax.block_until_ready(warm["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(model, state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+        # block each step: queueing donated steps back-to-back stalls the
+        # axon runtime pathologically (measured 10 ms/step blocked vs
+        # ~4.5 s/step free-running — the donated-buffer reuse path)
+        jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     return {"metric": "overfit_train_step", "value": round(1.0 / dt, 2),
             "unit": "steps/s (batch 4, 511x511, bf16, full model)",

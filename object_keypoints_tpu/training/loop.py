@@ -183,6 +183,10 @@ def train(config: TrainConfig) -> dict:
                 model, state, batch, dropout_rng,
                 depth_weight=config.depth_weight, center_weight=config.center_weight,
             )
+            # sync on the loss scalar every step: queueing donated steps
+            # back-to-back stalls the axon runtime (~400x; see
+            # benchmarks/run_all.py bench_overfit note)
+            jax.block_until_ready(metrics["loss"])
             step += 1
             epoch_steps += 1
             if step % config.log_every == 0:
