@@ -1,6 +1,8 @@
 """End-to-end integration: synthetic dataset -> training loop -> checkpoint
 + serving export -> LearnedKeypointTrackingPipeline inference."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -106,6 +108,29 @@ class TestTrainingLoop:
         objects, heatmap = pipeline(frame)
         assert heatmap.shape == (1, 3, 8, 8) or heatmap.shape[1] == 3
         assert isinstance(objects, list)
+
+    def test_model_bench_example(self, train_result, dataset_tree, tmp_path):
+        """examples/model_bench.py (the ModelBench.ipynb analog) renders
+        overlay frames from the trained artifact."""
+        import os
+        import subprocess
+        import sys as _sys
+
+        result, config = train_result
+        _, val_dir = dataset_tree
+        seq_dir = os.path.join(val_dir, sorted(os.listdir(val_dir))[0])
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        out = tmp_path / "bench_vis"
+        proc = subprocess.run(
+            [_sys.executable, str(repo / "examples" / "model_bench.py"),
+             seq_dir, "--model", result["export_dir"],
+             "--keypoints", str(repo / "config" / "valve.json"),
+             "--out", str(out), "--max-frames", "2"],
+            capture_output=True, text=True, timeout=420, cwd=str(repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert (out / "000000.jpg").exists()
+        assert (out / "000001.jpg").exists()
 
     def test_learned_model_accuracy(self, train_result, dataset_tree):
         """The learned serve path must actually be accurate: train -> export

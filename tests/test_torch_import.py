@@ -293,6 +293,37 @@ class TestFullImport:
                 tcent[s].numpy().reshape(n, c2 // 2, 2, h, w), atol=1e-4,
             )
 
+    def test_cli_load_state_dict_formats(self, tmp_path):
+        """scripts/import_torch_checkpoint.load_state_dict handles the three
+        reference checkpoint shapes: plain state_dict, Lightning ('state_dict'
+        + 'model.' prefixes), and a bare backbone (net.model.module.hg)."""
+        import importlib.util
+        import pathlib as _pathlib
+
+        repo = _pathlib.Path(__file__).resolve().parent.parent
+        spec = importlib.util.spec_from_file_location(
+            "import_torch_checkpoint",
+            repo / "scripts" / "import_torch_checkpoint.py",
+        )
+        cli = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cli)
+
+        sd = {"backbone.pre.0.conv.weight": torch.zeros(2, 3, 7, 7)}
+
+        p1 = tmp_path / "plain.pkl"
+        torch.save(sd, p1)
+        assert "backbone.pre.0.conv.weight" in cli.load_state_dict(str(p1))
+
+        p2 = tmp_path / "lightning.ckpt"
+        torch.save({"state_dict": {"model." + k: v for k, v in sd.items()},
+                    "epoch": 3}, p2)
+        assert "backbone.pre.0.conv.weight" in cli.load_state_dict(str(p2))
+
+        p3 = tmp_path / "backbone.pkl"
+        torch.save({"pre.0.conv.weight": torch.zeros(2, 3, 7, 7)}, p3)
+        out = cli.load_state_dict(str(p3))
+        assert "backbone.pre.0.conv.weight" in out
+
     def test_unmapped_keys_raise(self):
         torch.manual_seed(1)
         tmodel = TTinyKeypointNet()
