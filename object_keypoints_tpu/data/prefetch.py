@@ -29,9 +29,24 @@ def device_prefetch(batches: Iterable, buffer_size: int = 2,
     """
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     err: list = []
+    multihost = jax.process_count() > 1
 
     def put(batch):
         if sharding is not None:
+            if multihost:
+                # each process loads its own rows; assemble the global
+                # batch-sharded array from the per-process shards (the
+                # SPMD analog of DDP's per-worker sampling)
+                import numpy as np
+
+                def to_global(x):
+                    x = np.asarray(x)
+                    global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+                    return jax.make_array_from_process_local_data(
+                        sharding, x, global_shape
+                    )
+
+                return jax.tree.map(to_global, batch)
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

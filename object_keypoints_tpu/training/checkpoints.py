@@ -35,7 +35,21 @@ class CheckpointManager:
 
     def _save(self, name: str, payload: Any):
         path = os.path.join(self.directory, name)
-        self._ckpt.save(path, _to_host(payload), force=True)
+        payload = _to_host(payload)
+        if jax.process_count() > 1:
+            # Orbax runs cross-process sync barriers inside save() — a
+            # rank-0-only call deadlocks the cluster (observed: shutdown
+            # barrier timeout). Multi-host saves go through plain msgpack
+            # from process 0 instead; restore() reads either format.
+            if jax.process_index() == 0:
+                from flax import serialization
+
+                tmp = path + ".msgpack.tmp"
+                with open(tmp, "wb") as f:
+                    f.write(serialization.to_bytes(payload))
+                os.replace(tmp, path + ".msgpack")
+            return
+        self._ckpt.save(path, payload, force=True)
 
     def save_last(self, state, step: int):
         self._save("last", {"params": state.params, "batch_stats": state.batch_stats,
@@ -53,6 +67,15 @@ class CheckpointManager:
 
     def restore(self, name: str = "last", template: Optional[Any] = None):
         path = os.path.join(self.directory, name)
+        msgpack_path = path + ".msgpack"
+        if os.path.exists(msgpack_path):
+            from flax import serialization
+
+            with open(msgpack_path, "rb") as f:
+                raw = f.read()
+            if template is not None:
+                return serialization.from_bytes(_to_host(template), raw)
+            return serialization.msgpack_restore(raw)
         if template is not None:
             return self._ckpt.restore(path, item=_to_host(template))
         return self._ckpt.restore(path)

@@ -106,15 +106,33 @@ def train(config: TrainConfig) -> dict:
     from object_keypoints_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # data-parallel over the largest device subset the batch size divides
     devices = jax.devices()
-    n_data = max(d for d in range(1, len(devices) + 1) if config.batch_size % d == 0)
-    mesh = create_mesh(devices=devices[:n_data], model_parallel=1)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host SPMD (the reference's DDP, corner_net_lite/
+        # train.py:193-247): config.batch_size is PER PROCESS; the global
+        # batch (batch * n_proc) shards over every process's devices, and
+        # each process samples its own data (per-process seeds) — DDP's
+        # per-worker sampling. Gradients/BN stats reduce globally inside
+        # the jitted step via GSPMD.
+        if (config.batch_size * n_proc) % len(devices):
+            raise ValueError(
+                f"global batch {config.batch_size * n_proc} not divisible by "
+                f"{len(devices)} devices"
+            )
+        mesh = create_mesh(devices=devices, model_parallel=1)
+    else:
+        # data-parallel over the largest device subset the batch divides
+        n_data = max(d for d in range(1, len(devices) + 1)
+                     if config.batch_size % d == 0)
+        mesh = create_mesh(devices=devices[:n_data], model_parallel=1)
     sharding = batch_sharding(mesh)
+    is_main = jax.process_index() == 0
     model = build_model(config)
 
+    data_seed = config.seed + 1009 * jax.process_index()
     train_sets = _build_sequences(config.train, config.keypoint_config,
-                                  seed=config.seed, augment=True)
+                                  seed=data_seed, augment=True)
     val_sets = _build_sequences(config.val, config.keypoint_config,
                                 augment=False, include_pose=True)
 
@@ -150,12 +168,19 @@ def train(config: TrainConfig) -> dict:
         else:
             state = state.replace(opt_state=restored["opt_state"])
 
-    logger = MetricsLogger(config.out_dir)
+    if n_proc > 1:
+        # place the (identical-per-process) state as replicated GLOBAL
+        # arrays so the jitted step sees one consistent SPMD program
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+
+    logger = MetricsLogger(config.out_dir) if is_main else None
     step = int(state.step)
 
     def _train_batches():
-        chain = Chain(train_sets, shuffle=True, seed=config.seed)
-        pooled = SamplingPool(chain, config.pool, seed=config.seed)
+        chain = Chain(train_sets, shuffle=True, seed=data_seed)
+        pooled = SamplingPool(chain, config.pool, seed=data_seed)
         yield from batched(pooled, config.batch_size)
 
     def _val_batches():
@@ -192,14 +217,18 @@ def train(config: TrainConfig) -> dict:
             if step % config.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["lr_scale"] = float(state.lr_scale)
-                logger.log(step, host)
-                print_metrics(step, {"loss": host["loss"]}, extra=f"epoch={epoch}")
+                if logger:
+                    logger.log(step, host)
+                if is_main:
+                    print_metrics(step, {"loss": host["loss"]}, extra=f"epoch={epoch}")
             if config.steps_per_epoch and epoch_steps >= config.steps_per_epoch:
                 break
 
         # validation epoch (scripts/train.py:77-93 metric names)
         val_metrics = []
-        for batch in device_prefetch(_val_batches(), sharding=None):
+        for batch in device_prefetch(
+            _val_batches(), sharding=sharding if n_proc > 1 else None
+        ):
             if config.bf16:
                 batch["frame"] = batch["frame"].astype(jnp.bfloat16)
             val_metrics.append(
@@ -211,27 +240,33 @@ def train(config: TrainConfig) -> dict:
             )
         mean_val = {k: float(np.mean([m[k] for m in val_metrics]))
                     for k in val_metrics[0]} if val_metrics else {"val_loss": np.inf}
-        logger.log(step, mean_val)
-        print_metrics(step, {"val_loss": mean_val["val_loss"]}, extra=f"epoch={epoch} [val]")
+        if logger:
+            logger.log(step, mean_val)
+        if is_main:
+            print_metrics(step, {"val_loss": mean_val["val_loss"]},
+                          extra=f"epoch={epoch} [val]")
 
-        if (epoch + 1) % config.ckpt_every == 0 or epoch == config.epochs - 1:
+        if is_main and ((epoch + 1) % config.ckpt_every == 0
+                        or epoch == config.epochs - 1):
             ckpt.save_last(state, step)
             ckpt.save_if_best(state, step, mean_val["val_loss"])
 
     # serving artifact from the final params (package_model.py analog)
     export_dir = os.path.join(config.out_dir, "export")
-    export_model(
-        export_dir,
-        {
-            "heatmaps_out": config.heatmaps_out,
-            "features": config.features,
-            "dropout": config.dropout,
-            "keypoint_config": list(config.keypoint_config),
-            **(config.model_overrides or {}),
-        },
-        {"params": state.params, "batch_stats": state.batch_stats},
-    )
-    logger.close()
+    if is_main:
+        export_model(
+            export_dir,
+            {
+                "heatmaps_out": config.heatmaps_out,
+                "features": config.features,
+                "dropout": config.dropout,
+                "keypoint_config": list(config.keypoint_config),
+                **(config.model_overrides or {}),
+            },
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+    if logger:
+        logger.close()
     return {
         "best_val_loss": ckpt.best_val,
         "steps": step,

@@ -46,6 +46,17 @@ def main():
     with open(flags.keypoints) as f:
         keypoint_config = json.load(f)["keypoint_config"]
 
+    # Multi-host launch path (the reference's mp.spawn/NCCL analog,
+    # corner_net_lite/train.py:241-247): run one copy of this CLI per host
+    # with COORDINATOR_ADDRESS=host:port NUM_PROCESSES=n PROCESS_ID=i set;
+    # the mesh then spans every process's devices (jax.devices() is global
+    # after initialize) and XLA shards the batch over all of them.
+    # No-op when COORDINATOR_ADDRESS is unset. Exercised by
+    # tests/test_multihost.py.
+    from object_keypoints_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+
     from object_keypoints_tpu.training.loop import TrainConfig, train
 
     config = TrainConfig(

@@ -90,6 +90,46 @@ print(f"MULTIHOST_OK process={pid} loss={loss:.6f}", flush=True)
 """
 
 
+TRAIN_CHILD = r"""
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from object_keypoints_tpu.parallel import initialize_distributed
+
+initialize_distributed()
+assert jax.process_count() == 2
+
+import numpy as np
+from object_keypoints_tpu.training.loop import TrainConfig, train
+
+data_root = sys.argv[1]
+out_dir = sys.argv[2]
+config = TrainConfig(
+    train=os.path.join(data_root, "train"),
+    val=os.path.join(data_root, "val"),
+    keypoint_config=[1, 3],
+    batch_size=2,  # per process; global 4 over the 4 global devices
+    lr=1e-3,
+    features=8,
+    dropout=0.0,
+    pool=4,
+    epochs=1,
+    out_dir=out_dir,
+    model_overrides=dict(levels=2, dims=(8, 8, 16), mods=(1, 1, 1),
+                         stem_features=(4, 8), cnv_dim=8),
+    log_every=1,
+)
+result = train(config)
+assert np.isfinite(result["best_val_loss"]) or jax.process_index() != 0
+print(f"MULTIHOST_TRAIN_OK process={jax.process_index()} "
+      f"steps={result['steps']}", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -139,3 +179,55 @@ class TestMultihost:
         # the globally-sharded loss must agree across processes
         losses = {o.split("loss=")[1].strip() for _, o, _ in outs}
         assert len(losses) == 1, losses
+
+    def test_two_process_training_loop(self, tmp_path):
+        """The FULL training loop (data -> sharded steps -> val ->
+        checkpoints -> export) runs 2-process: per-process sampling feeds a
+        global batch via make_array_from_process_local_data, state is
+        replicated, rank 0 writes artifacts."""
+        import pytest
+
+        pytest.importorskip("cv2")
+        from object_keypoints_tpu.data.synthetic import make_synthetic_dataset_tree
+
+        data_root = tmp_path / "data"
+        make_synthetic_dataset_tree(
+            str(data_root), str(pathlib.Path(REPO) / "config" / "calibration.yaml"),
+            [1, 3], n_train=1, n_val=1, n_frames=4,
+        )
+        port = _free_port()
+        script = tmp_path / "train_child.py"
+        script.write_text(TRAIN_CHILD)
+        procs = []
+        for pid in range(2):
+            env = {
+                k: v
+                for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+            }
+            env.update(
+                JAX_PLATFORMS="cpu",
+                JAX_PLATFORM_NAME="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                NUM_PROCESSES="2",
+                PROCESS_ID=str(pid),
+                PYTHONPATH=REPO,
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(script), str(data_root),
+                     str(tmp_path / f"run{pid}")],
+                    env=env, cwd=REPO,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                )
+            )
+        outs = [(p.returncode, *p.communicate(timeout=600)) for p in procs]
+        outs = [(p.returncode, o, e) for p, (_, o, e) in zip(procs, outs)]
+        for rc, out, err in outs:
+            assert rc == 0, err[-3000:]
+            assert "MULTIHOST_TRAIN_OK" in out
+        # rank 0 wrote the checkpoint + export artifacts (multi-host saves
+        # use the msgpack path — orbax barriers would need all ranks)
+        assert (tmp_path / "run0" / "export" / "config.json").exists()
+        assert (tmp_path / "run0" / "best.msgpack").exists()
