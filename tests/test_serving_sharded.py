@@ -58,6 +58,35 @@ class TestShardedServing:
         assert np.asarray(heat).shape == (8, 3, 8, 8)
         assert np.all(np.isfinite(np.asarray(heat)))
 
+    def test_sharded_int8_serving(self, tiny_model, tmp_path):
+        """Sharded serving composes with int8 PTQ: quant.json in the
+        artifact -> the sharded fn runs the quantized interceptor under the
+        mesh and stays within the int8 accuracy envelope of the
+        single-device quantized path."""
+        from object_keypoints_tpu.serving.quantize import (
+            calibrate_activation_scales,
+        )
+
+        model, variables = tiny_model
+        rng = np.random.default_rng(3)
+        calib = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        scales = calibrate_activation_scales(
+            lambda b: model.apply(variables, b, train=False), [calib]
+        )
+        config = {**TINY, "dims": list(TINY["dims"]), "mods": list(TINY["mods"]),
+                  "stem_features": list(TINY["stem_features"]),
+                  "input_size": 64, "keypoint_config": [1, 1]}
+        export_model(str(tmp_path), config, variables, quant_scales=scales)
+
+        frames = rng.normal(size=(8, 3, 64, 64)).astype(np.float32)
+        sharded_q = load_sharded_inference_fn(str(tmp_path))  # auto: int8
+        single_q = make_inference_fn(model, variables, quant_scales=scales)
+        out_s = sharded_q(frames)
+        out_1 = single_q(frames)
+        for a, b in zip(out_s, out_1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_model_axis_sharding(self, tiny_model):
         """A (4, 2) mesh with wide-kernel channel sharding still reproduces
         the single-device outputs (TP correctness for serving)."""
