@@ -1,7 +1,11 @@
 """CornerNet decode parity against a torch restatement of the vendored
 _decode (core/models/py_utils/utils.py:39-129). torch (CPU) is in the
 image, so the exact reference math — topk tie-breaking included — can be
-re-expressed and compared on random heads."""
+re-expressed and compared on random heads.
+
+FALLBACK tier: the authoritative gate is tests/test_reference_parity.py
+::TestDecodeReal, which runs the reference's real _decode; this restatement
+remains for environments without the reference tree."""
 
 import numpy as np
 import pytest

@@ -1,0 +1,222 @@
+"""Parity gates against the ACTUAL /root/reference implementation.
+
+Unlike tests/test_torch_import.py and tests/test_decode_torch_parity.py
+(hand-written torch restatements, kept as fallbacks for environments
+without the reference tree or a C++ toolchain), these tests execute the
+reference's own code — `perception.models.KeypointNet` (models.py:60-85)
+with its real CornerNet-Squeeze backbone, the real `_decode`
+(py_utils/utils.py:39-129), the real `_cpools` ATen corner-pool extensions
+(src/top_pool.cpp:5-26 etc.), and the real `perception.loss.KeypointLoss`
+(loss.py:5-48) — and gate our flax/jnp rebuilds against their outputs.
+
+Skips ONLY when the reference tree or the C++ compiler is genuinely absent
+(ref_loader.ReferenceUnavailable), never for convenience.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests import ref_loader  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference():
+    try:
+        return ref_loader.load_reference()
+    except ref_loader.ReferenceUnavailable as e:
+        pytest.skip(f"reference unavailable: {e}")
+
+
+class TestCornerPoolsReal:
+    """Forward parity vs the real ATen extensions. (Their backwards allocate
+    CUDA temporaries, src/top_pool.cpp:39-40, so gradients stay gated by the
+    CPU-safe checks in tests/test_pipeline.py / test_torch_import.py.)"""
+
+    def test_forward_parity_all_directions(self, reference):
+        from object_keypoints_tpu.ops import corner_pool as cp
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 4, 9, 13)).astype(np.float32)  # NCHW
+        xt = torch.from_numpy(x)
+        x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+        pairs = [
+            (reference.cpools.TopPool(), cp.top_pool),
+            (reference.cpools.BottomPool(), cp.bottom_pool),
+            (reference.cpools.LeftPool(), cp.left_pool),
+            (reference.cpools.RightPool(), cp.right_pool),
+        ]
+        for ref_mod, ours in pairs:
+            with torch.no_grad():
+                want = ref_mod(xt).numpy()
+            got = np.asarray(ours(x_nhwc)).transpose(0, 3, 1, 2)
+            np.testing.assert_array_equal(got, want)
+
+
+class TestDecodeReal:
+    def _heads(self, seed, b=2, c=3, h=16, w=16):
+        rng = np.random.default_rng(seed)
+        return (
+            rng.normal(scale=3.0, size=(b, c, h, w)).astype(np.float32),
+            rng.normal(scale=3.0, size=(b, c, h, w)).astype(np.float32),
+            rng.normal(size=(b, 1, h, w)).astype(np.float32),
+            rng.normal(size=(b, 1, h, w)).astype(np.float32),
+            rng.normal(scale=0.3, size=(b, 2, h, w)).astype(np.float32),
+            rng.normal(scale=0.3, size=(b, 2, h, w)).astype(np.float32),
+        )
+
+    @pytest.mark.parametrize("kernel", [1, 3])
+    def test_decode_matches_real_reference(self, reference, kernel):
+        """decode_detections vs the real _decode (utils.py:39-129), both the
+        kernel=1 path and the kernel=3 max-pool-NMS path."""
+        from object_keypoints_tpu.ops.detection_decode import decode_detections
+
+        heads = self._heads(seed=10 + kernel)
+        want = (
+            reference.py_utils._decode(
+                *[torch.from_numpy(a) for a in heads],
+                K=20, kernel=kernel, ae_threshold=1.0, num_dets=50,
+            )
+            .numpy()
+        )
+
+        def nhwc(a):
+            return jnp.asarray(np.transpose(a, (0, 2, 3, 1)))
+
+        got = np.asarray(
+            decode_detections(
+                *[nhwc(a) for a in heads],
+                K=20, kernel=kernel, ae_threshold=1.0, num_dets=50,
+            )
+        )
+
+        # scores must match elementwise after sorting (topk tie order among
+        # exactly-equal scores is library-defined)
+        np.testing.assert_allclose(
+            np.sort(got[..., 4], axis=1), np.sort(want[..., 4], axis=1), atol=1e-5
+        )
+        # positive detections must match as (box, class) multisets
+        for n in range(got.shape[0]):
+            got_pos = got[n][got[n, :, 4] > 0]
+            want_pos = want[n][want[n, :, 4] > 0]
+            assert got_pos.shape == want_pos.shape
+            key = lambda a: a[np.lexsort((a[:, 0], a[:, 1], a[:, 4]))]  # noqa: E731
+            np.testing.assert_allclose(key(got_pos), key(want_pos), atol=1e-4)
+
+
+class TestKeypointLossReal:
+    def test_loss_values_and_gradients(self, reference):
+        """Value + input-gradient parity vs the real perception.loss
+        .KeypointLoss (loss.py:19-48), both stacks, random data."""
+        from object_keypoints_tpu.training.losses import keypoint_loss
+
+        rng = np.random.default_rng(3)
+        n, k, h, w = 2, 3, 8, 8
+        t = k - 1
+        gt_hm = rng.uniform(size=(n, k, h, w)).astype(np.float32)
+        gt_hm[gt_hm < 0.3] = 0.0  # exercise the >0.01 mask
+        gt_d = rng.normal(size=(n, k, h, w)).astype(np.float32)
+        gt_c = rng.normal(size=(n, t, 2, h, w)).astype(np.float32)
+        p_hm = [rng.normal(size=(n, k, h, w)).astype(np.float32) for _ in range(2)]
+        p_d = [rng.normal(size=(n, k, h, w)).astype(np.float32) for _ in range(2)]
+        p_c = [rng.normal(size=(n, t, 2, h, w)).astype(np.float32) for _ in range(2)]
+
+        ref_loss = reference.loss.KeypointLoss([1, 1])
+        t_p_hm = [torch.tensor(a, requires_grad=True) for a in p_hm]
+        t_p_d = [torch.tensor(a, requires_grad=True) for a in p_d]
+        t_p_c = [torch.tensor(a, requires_grad=True) for a in p_c]
+        want, want_hm, want_d, want_c = ref_loss(
+            t_p_hm, torch.tensor(gt_hm), t_p_d, torch.tensor(gt_d),
+            t_p_c, torch.tensor(gt_c),
+        )
+        want.backward()
+        want = want.detach()
+        want_hm = [t.detach() for t in want_hm]
+        want_d = [t.detach() for t in want_d]
+        want_c = [t.detach() for t in want_c]
+
+        def nhwc(a):
+            return jnp.asarray(np.transpose(a, (0, 2, 3, 1)))
+
+        def nhwt2(a):  # (N, T, 2, H, W) -> (N, H, W, T, 2)
+            return jnp.asarray(np.transpose(a, (0, 3, 4, 1, 2)))
+
+        def ours(ph0, ph1, pd0, pd1, pc0, pc1):
+            total, hms, ds, cs = keypoint_loss(
+                [ph0, ph1], nhwc(gt_hm), [pd0, pd1], nhwc(gt_d),
+                [pc0, pc1], nhwt2(gt_c),
+            )
+            return total, (hms, ds, cs)
+
+        args = (nhwc(p_hm[0]), nhwc(p_hm[1]), nhwc(p_d[0]), nhwc(p_d[1]),
+                nhwt2(p_c[0]), nhwt2(p_c[1]))
+        (got, (hms, ds, cs)), grads = jax.value_and_grad(
+            ours, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+        )(*args)
+
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        for s in range(2):
+            np.testing.assert_allclose(float(hms[s]), float(want_hm[s]), rtol=1e-5)
+            np.testing.assert_allclose(float(ds[s]), float(want_d[s]), rtol=1e-5)
+            np.testing.assert_allclose(float(cs[s]), float(want_c[s]), rtol=1e-5)
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(grads[s]).transpose(0, 3, 1, 2),
+                t_p_hm[s].grad.numpy(), atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grads[2 + s]).transpose(0, 3, 1, 2),
+                t_p_d[s].grad.numpy(), atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grads[4 + s]).transpose(0, 3, 4, 1, 2),
+                t_p_c[s].grad.numpy(), atol=1e-6,
+            )
+
+
+class TestFullModelReal:
+    def test_full_geometry_forward_parity(self, reference):
+        """THE round-3 headline gate: the real perception.models.KeypointNet
+        (31.77M-param CornerNet-Squeeze backbone, models.py:60-85) state_dict
+        imported through serving/torch_import.py must reproduce the real
+        forward on the (2, 3, 511, 511) serving contract
+        (package_model.py:35) to 1e-4 (measured ~3e-8)."""
+        from object_keypoints_tpu.models import KeypointNet
+        from object_keypoints_tpu.serving import torch_import as TI
+
+        torch.manual_seed(0)
+        ref_net = ref_loader.build_keypoint_net(heatmaps_out=3)
+        ref_net.eval()
+        # randomize BN running stats so batch_stats import is exercised
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+        variables = TI.import_keypoint_net(ref_net.state_dict())
+        model = KeypointNet(heatmaps_out=3, dropout=0.0)
+
+        x = np.random.default_rng(0).normal(size=(2, 3, 511, 511)).astype(np.float32)
+        with torch.no_grad():
+            theat, tdepth, tcent = ref_net(torch.from_numpy(x))
+        out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out.heatmaps[s]).transpose(0, 3, 1, 2),
+                theat[s].numpy(), atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.depth[s]).transpose(0, 3, 1, 2),
+                tdepth[s].numpy(), atol=1e-4,
+            )
+            # real CenterHead emits (N, T, 2, H, W) (models.py:49-53)
+            np.testing.assert_allclose(
+                np.asarray(out.centers[s]).transpose(0, 3, 4, 1, 2),
+                tcent[s].numpy(), atol=1e-4,
+            )

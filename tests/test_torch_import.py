@@ -1,10 +1,14 @@
 """torch -> flax weight import parity (serving/torch_import.py).
 
-Torch restatements of the reference blocks (convolution/residual/
-fire_module, utils.py:143-185 + CornerNet_Squeeze.py:10-30 semantics, same
-state_dict naming) generate random-weight checkpoints; importing them into
-our flax modules must reproduce the torch forward to float tolerance —
-the gate that makes reference-checkpoint parity checkable.
+FALLBACK tier: torch restatements of the reference blocks (convolution/
+residual/fire_module, utils.py:143-185 + CornerNet_Squeeze.py:10-30
+semantics, same state_dict naming) generate random-weight checkpoints;
+importing them into our flax modules must reproduce the torch forward to
+float tolerance. The authoritative gate is tests/test_reference_parity.py,
+which imports the ACTUAL /root/reference code (built _cpools included) and
+checks the full-geometry forward; these restatement tests remain as the
+tier that still runs when the reference tree / C++ toolchain is absent,
+and as small fast block-level diagnostics.
 """
 
 import numpy as np
