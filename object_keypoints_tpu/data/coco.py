@@ -86,13 +86,17 @@ class CocoDetectionDataset:
         return detections
 
     def evaluate(self, result_json: str, cls_ids=None, image_ids=None):
-        """Official COCOeval when pycocotools exists; otherwise the built-in
-        AP@0.5 fallback (corner_net_lite/core/dbs/coco.py:155-169)."""
+        """Official COCOeval protocol (corner_net_lite/core/dbs/coco.py:120-169):
+        the installed pycocotools when present, else the vendored
+        full-semantics implementation (vendor/cocotools.py — same matching
+        rules, IoU sweep, area ranges and 12-stat summary). The PASCAL-style
+        AP@0.5 stand-in survives only as `_evaluate_fallback` for
+        comparison/debugging; it is no longer on the evaluate() path."""
         try:
             from pycocotools.coco import COCO
             from pycocotools.cocoeval import COCOeval
         except ImportError:
-            return self._evaluate_fallback(result_json)
+            from object_keypoints_tpu.vendor.cocotools import COCO, COCOeval
         coco = COCO(self.annotation_file)
         coco_dets = coco.loadRes(result_json)
         coco_eval = COCOeval(coco, coco_dets, "bbox")

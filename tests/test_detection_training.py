@@ -331,3 +331,184 @@ class TestCocoDataset:
         assert calls["result_json"] == str(result_json)
         assert calls["iou_type"] == "bbox"
         assert calls["evaluated"]
+
+
+class TestVendoredCocoEval:
+    """The vendored official-protocol COCOeval (vendor/cocotools.py) gated
+    against hand-computed average precisions. Reference protocol:
+    corner_net_lite/core/dbs/coco.py:120-169 (pycocotools semantics)."""
+
+    @staticmethod
+    def _coco(tmp_path, gts, cats=(1,), size=640):
+        from object_keypoints_tpu.vendor.cocotools import COCO
+
+        ann = {
+            "images": [
+                {"id": i, "file_name": f"{i}.jpg", "width": size, "height": size}
+                for i in sorted({g["image_id"] for g in gts} | {1})
+            ],
+            "annotations": [
+                {
+                    "id": i + 1,
+                    "area": float(g["bbox"][2] * g["bbox"][3]),
+                    "iscrowd": 0,
+                    **g,
+                }
+                for i, g in enumerate(gts)
+            ],
+            "categories": [{"id": c, "name": str(c)} for c in cats],
+        }
+        path = tmp_path / "gt.json"
+        path.write_text(json.dumps(ann))
+        return COCO(str(path))
+
+    @staticmethod
+    def _run(gt_coco, dets):
+        from object_keypoints_tpu.vendor.cocotools import COCOeval
+
+        ev = COCOeval(gt_coco, gt_coco.loadRes(dets), "bbox")
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return ev.stats
+
+    def test_perfect_detections(self, tmp_path):
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50]},
+            {"image_id": 1, "category_id": 1, "bbox": [200, 200, 80, 40]},
+        ])
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50], "score": 0.9},
+            {"image_id": 1, "category_id": 1, "bbox": [200, 200, 80, 40], "score": 0.8},
+        ])
+        assert stats[0] == pytest.approx(1.0)   # mAP
+        assert stats[1] == pytest.approx(1.0)   # AP@0.5
+        assert stats[8] == pytest.approx(1.0)   # AR@100
+        assert stats[6] == pytest.approx(0.5)   # AR@1: one det budget, two gts
+
+    def test_iou_060_matches_exactly_three_thresholds(self, tmp_path):
+        """IoU exactly 0.6 -> TP at t in {0.50, 0.55, 0.60} only, so
+        mAP = 3/10 and AP@0.75 = 0 (inclusive-threshold matching)."""
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 100, 100]},
+        ])
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 100, 60], "score": 0.9},
+        ])
+        assert stats[1] == pytest.approx(1.0)
+        assert stats[2] == pytest.approx(0.0)
+        assert stats[0] == pytest.approx(0.3)
+
+    def test_high_scoring_false_positive_halves_ap(self, tmp_path):
+        """FP above the TP in score order: precision is 1/2 at every recall
+        point after the envelope -> AP = 0.5 at every threshold."""
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50]},
+        ])
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [400, 400, 50, 50], "score": 0.95},
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50], "score": 0.9},
+        ])
+        assert stats[0] == pytest.approx(0.5)
+        assert stats[1] == pytest.approx(0.5)
+
+    def test_crowd_ground_truth_absorbs_extra_detections(self, tmp_path):
+        """A det inside an iscrowd gt is ignored (not an FP), and the crowd
+        never counts as a missed gt — official crowd semantics."""
+        from object_keypoints_tpu.vendor.cocotools import COCO
+
+        crowd_gts = [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50]},
+            {"image_id": 1, "category_id": 1, "bbox": [300, 300, 120, 120],
+             "iscrowd": 1},
+        ]
+        gt = self._coco(tmp_path, crowd_gts)
+        # small det fully inside the crowd region: crowd IoU = inter/detArea = 1
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50], "score": 0.9},
+            {"image_id": 1, "category_id": 1, "bbox": [320, 320, 30, 30], "score": 0.85},
+        ])
+        assert stats[0] == pytest.approx(1.0)
+
+    def test_area_range_partitions(self, tmp_path):
+        """A 20x20 gt (area 400 < 32^2) scores in AP_small; AP_large = -1
+        (no large gts) and is excluded from the mean."""
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]},
+        ])
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        ])
+        assert stats[3] == pytest.approx(1.0)   # AP small
+        assert stats[5] == pytest.approx(-1.0)  # AP large: undefined
+        assert stats[0] == pytest.approx(1.0)
+
+    def test_matches_fallback_ap50_when_unambiguous(self, tmp_path):
+        """On well-separated one-det-per-gt data the vendored official AP@0.5
+        must agree with the PASCAL-style stand-in it replaces."""
+        rng = np.random.default_rng(3)
+        gts, dets = [], []
+        for img in (1, 2, 3):
+            for _ in range(4):
+                x, y = rng.uniform(0, 500, 2)
+                w, h = rng.uniform(40, 90, 2)
+                gts.append({"image_id": img, "category_id": 1,
+                            "bbox": [float(x), float(y), float(w), float(h)]})
+                jitter = rng.uniform(-3, 3, 4)
+                dets.append({
+                    "image_id": img, "category_id": 1,
+                    "bbox": [float(x + jitter[0]), float(y + jitter[1]),
+                             float(w + jitter[2]), float(h + jitter[3])],
+                    "score": float(rng.uniform(0.1, 1.0)),
+                })
+        # two clear misses
+        dets[0]["bbox"][0] += 400.0
+        dets[5]["bbox"][1] += 400.0
+        gt = self._coco(tmp_path, gts)
+        stats = self._run(gt, dets)
+
+        ann_json = {
+            "images": [{"id": i, "file_name": f"{i}.jpg", "width": 640,
+                        "height": 640} for i in (1, 2, 3)],
+            "annotations": [
+                {"id": i + 1, "iscrowd": 0, **g} for i, g in enumerate(gts)
+            ],
+            "categories": [{"id": 1, "name": "c"}],
+        }
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann_json))
+        res_path = tmp_path / "res.json"
+        res_path.write_text(json.dumps(dets))
+        ds = CocoDetectionDataset(str(ann_path), str(tmp_path))
+        fallback = ds._evaluate_fallback(str(res_path))
+        assert stats[1] == pytest.approx(fallback["mAP"], abs=1e-9)
+
+    def test_dataset_evaluate_runs_official_protocol(self, tmp_path):
+        """CocoDetectionDataset.evaluate() now always runs the official
+        COCOeval protocol (vendored when pycocotools is absent) — 12 stats,
+        crowd gts handled, perfect dets -> mAP 1.0."""
+        ann = {
+            "images": [
+                {"id": 7, "file_name": "a.jpg", "width": 640, "height": 480},
+                {"id": 9, "file_name": "b.jpg", "width": 640, "height": 480},
+            ],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 17, "iscrowd": 0,
+                 "area": 320.0, "bbox": [4, 4, 16, 20]},
+                {"id": 2, "image_id": 7, "category_id": 18, "iscrowd": 0,
+                 "area": 100.0, "bbox": [30, 10, 10, 10]},
+                {"id": 3, "image_id": 9, "category_id": 17, "iscrowd": 1,
+                 "area": 144.0, "bbox": [8, 8, 12, 12]},
+            ],
+            "categories": [{"id": 17, "name": "cat"}, {"id": 18, "name": "dog"}],
+        }
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann))
+        ds = CocoDetectionDataset(str(ann_path), str(tmp_path))
+        all_bboxes = {7: {1: np.array([[4, 4, 20, 24, 0.95]]),
+                          2: np.array([[30, 10, 40, 20, 0.9]])}}
+        res_path = tmp_path / "res.json"
+        res_path.write_text(json.dumps(ds.convert_to_coco(all_bboxes)))
+        out = ds.evaluate(str(res_path))
+        assert len(out["stats"]) == 12
+        assert out["mAP"] == pytest.approx(1.0)
