@@ -14,6 +14,8 @@ from object_keypoints_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_params,
+    param_specs,
+    model_sharded_paths,
     initialize_distributed,
 )
 
@@ -22,5 +24,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_params",
+    "param_specs",
+    "model_sharded_paths",
     "initialize_distributed",
 ]

@@ -40,6 +40,12 @@ def initialize_distributed():
         return
     kwargs = {"coordinator_address": addr}
     if os.environ.get("NUM_PROCESSES"):
+        if "PROCESS_ID" not in os.environ:
+            raise ValueError(
+                "NUM_PROCESSES is set but PROCESS_ID is not; a manual "
+                "multi-process launch needs COORDINATOR_ADDRESS, "
+                "NUM_PROCESSES and PROCESS_ID (one unique id per process)"
+            )
         kwargs["num_processes"] = int(os.environ["NUM_PROCESSES"])
         kwargs["process_id"] = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(**kwargs)
@@ -104,3 +110,30 @@ def shard_params(params, mesh: Mesh):
         return jax.device_put(value, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def param_specs(params, mesh: Mesh):
+    """The PartitionSpec tree :func:`shard_params` would place (works on
+    ShapeDtypeStruct trees too — used for AOT compilation and audits)."""
+    model_axis = mesh.shape["model"]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: _param_spec(jax.tree_util.keystr(path), v, model_axis),
+        params,
+    )
+
+
+def model_sharded_paths(params, mesh: Mesh):
+    """Keystr paths of every parameter the wide-kernel rule shards over
+    ``model`` — the audit surface for the full-geometry mesh proof
+    (tests/test_mesh_full_geometry.py, __graft_entry__.dryrun_multichip)."""
+    model_axis = mesh.shape["model"]
+    out = []
+
+    def visit(path, value):
+        key = jax.tree_util.keystr(path)
+        if _param_spec(key, value, model_axis) != P():
+            out.append(key)
+        return value
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return sorted(out)
