@@ -14,6 +14,8 @@ one JSON line each.
    synthetic sequence)                        -> frames/s end-to-end
 6. stereo end-to-end serve: forward both views -> epipolar match ->
    Hartley-Sturm/DLT as ONE program           -> stereo pairs/s + mm parity
+7. CornerNet_Saccade two-stage attention drive (downsized pass -> zoom
+   crops on device -> second pass -> merge)   -> images/s
 
 Usage: python benchmarks/run_all.py [--quick]
 """
@@ -301,6 +303,67 @@ def bench_stereo_e2e(iters, pairs=16):
             "host_parity_mm": round(max_dev * 1000, 4)}
 
 
+def bench_saccade(iters):
+    """Config 7: CornerNet_Saccade two-stage inference — downsized attention
+    pass -> location decode+NMS -> batched on-device zoom crops (the
+    device_crops default) -> second pass -> per-class merge — the
+    reference's cornernet_saccade.py:300-400 drive, random weights."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.inference.saccade import cornernet_saccade_inference
+    from object_keypoints_tpu.models.cornernet import cornernet_saccade
+    from object_keypoints_tpu.utils.config import DetectionConfig, load_cfg
+
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "object_keypoints_tpu", "configs",
+        "CornerNet_Saccade.json",
+    )
+    _, db_cfg = load_cfg(cfg_path)
+    config = DetectionConfig(db_cfg)
+    model = cornernet_saccade(categories=config["categories"], dtype=jnp.bfloat16)
+    dummy = jnp.zeros(
+        (1, config["input_size"][0], config["input_size"][1], 3), jnp.bfloat16
+    )
+    variables = model.init({"params": jax.random.key(0)}, dummy)
+
+    @functools.partial(jax.jit, static_argnames=("no_att",))
+    def decode_fn(images, no_att):
+        out = model.apply(
+            variables, images, False, True,
+            K=config["top_k"], ae_threshold=config["ae_threshold"],
+            kernel=config["nms_kernel"], num_dets=config["num_dets"],
+            no_border=True,
+        )
+        if no_att:
+            dets = out[0] if isinstance(out, tuple) else out
+            return dets, None
+        (dets, *_), atts = out
+        return dets, atts
+
+    # synthetic scene: textured background + high-contrast boxes so the
+    # attention stage has real structure to fire on
+    rng = np.random.default_rng(2)
+    image = rng.integers(20, 80, size=(480, 640, 3)).astype(np.float32)
+    for y, x, s in ((120, 160, 60), (300, 420, 120), (80, 500, 30)):
+        image[y : y + s, x : x + s] = rng.uniform(180, 255, size=3)
+
+    run = lambda: cornernet_saccade_inference(config, decode_fn, image)
+    boxes = run()  # warm both stage compiles
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    n_boxes = int(sum(len(v) for v in boxes.values()))
+    return {"metric": "saccade_two_stage_inference", "value": round(1.0 / dt, 2),
+            "unit": "images/s (480x640, two-stage attention drive, "
+                    "device crops, bf16)",
+            "boxes_out": n_boxes}
+
+
 def bench_video_eval(quick):
     """Config 5: full eval path over an encoded synthetic sequence."""
     from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
@@ -343,6 +406,7 @@ def main():
         lambda: bench_cups_association(iters),
         lambda: bench_video_eval(flags.quick),
         lambda: bench_stereo_e2e(iters, pairs=4 if flags.quick else 16),
+        lambda: bench_saccade(2 if flags.quick else 10),
     ):
         print(json.dumps(fn()), flush=True)
 

@@ -241,6 +241,10 @@ def saccade_sample(image, detections, db_config, rng,
         if lo_edge is None or not centered:
             lo = max(hi_edge - span, 0) if lo_edge is not None else 0
             hi = min(extent - span, lo_edge) if lo_edge is not None else extent - span
+            # A zoomed reference box larger than the input span would give
+            # hi < lo (latent in the reference sampler too,
+            # sample/cornernet_saccade.py:47-56); clamp to a valid window.
+            hi = max(hi, lo)
             return int(rng.integers(int(lo), int(hi) + 1)) + span // 2
         mid = (lo_edge + hi_edge) // 2
         lo = max(mid - int(rng.integers(0, 15)), 0)

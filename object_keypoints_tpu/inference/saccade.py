@@ -14,6 +14,7 @@ run as individual GPU interpolates, cornernet_saccade.py:15-39).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import numpy as np
@@ -57,23 +58,18 @@ def crop_zoom(image, center, size, out_size):
     return canvas, np.array([cty - height // 2, ctx - width // 2], np.float32)
 
 
-def _device_crop_zoom_batch(image, centers_yx, crop_sizes_hw, out_size):
-    """Batched crop-zoom as ONE jitted program (TPU-first replacement for
-    the reference's per-crop GPU interpolates, cornernet_saccade.py:15-39).
+@functools.lru_cache(maxsize=16)
+def _crop_zoom_program(im_h: int, im_w: int, oh: int, ow: int):
+    """One compiled crop-zoom program per (image shape, out size).
 
-    image: (H, W, 3) f32; centers_yx: (M, 2); crop_sizes_hw: (M, 2) float.
-    Returns (canvases (M, oh, ow, 3), offsets (M, 2)). Same geometry as
-    :func:`crop_zoom` (int-truncated window edges, zero padding outside the
-    image); the bilinear resample is jax.image's, which matches cv2's
-    INTER_LINEAR up to boundary convention (gated in tests/test_saccade.py).
+    Module-level cache so repeated `_prepare_images` calls reuse the same
+    jitted program instead of retracing a fresh closure every invocation
+    (round-2 advisor finding); the M (crop-count) axis is padded to a fixed
+    capacity by the caller, so the shapes — and therefore the compile — are
+    stable across the whole saccade loop.
     """
     import jax
-    import jax.image
 
-    oh, ow = out_size
-    im_h, im_w = image.shape[:2]
-
-    @jax.jit
     def crop_all(img, centers, sizes):
         def one(center, size):
             cty = center[0].astype(jnp.int32)
@@ -136,6 +132,22 @@ def _device_crop_zoom_batch(image, centers_yx, crop_sizes_hw, out_size):
 
         return jax.vmap(one)(centers, sizes)
 
+    return jax.jit(crop_all)
+
+
+def _device_crop_zoom_batch(image, centers_yx, crop_sizes_hw, out_size):
+    """Batched crop-zoom as ONE jitted program (TPU-first replacement for
+    the reference's per-crop GPU interpolates, cornernet_saccade.py:15-39).
+
+    image: (H, W, 3) f32; centers_yx: (M, 2); crop_sizes_hw: (M, 2) float.
+    Returns (canvases (M, oh, ow, 3), offsets (M, 2)). Same geometry as
+    :func:`crop_zoom` (int-truncated window edges, zero padding outside the
+    image); the bilinear resample matches cv2's INTER_LINEAR up to boundary
+    convention (gated in tests/test_saccade.py).
+    """
+    oh, ow = out_size
+    im_h, im_w = image.shape[:2]
+    crop_all = _crop_zoom_program(im_h, im_w, oh, ow)
     return crop_all(
         jnp.asarray(image, jnp.float32),
         jnp.asarray(centers_yx, jnp.float32),
@@ -222,13 +234,18 @@ def location_nms(locations, thresh=15):
     return np.stack(kept)
 
 
-def _prepare_images(config, image, locations, device_crops: bool = False):
-    """(cornernet_saccade.py:223-233). With ``device_crops`` the whole crop
-    batch runs as one jitted program padded to att_max_crops (static shape,
-    one compile) instead of per-crop host cv2 resizes."""
+def _prepare_images(config, image, locations, device_crops: bool = True):
+    """(cornernet_saccade.py:223-233). With ``device_crops`` (the default;
+    the reference also crops on-device, cornernet_saccade.py:15-39) the
+    whole crop batch runs as one jitted program padded to att_max_crops
+    (static shape, one compile) instead of per-crop host cv2 resizes."""
     input_size = config["input_size"]
     if device_crops and len(locations):
-        cap = max(int(config["att_max_crops"]), len(locations))
+        unit = max(int(config["att_max_crops"]), 1)
+        # fixed capacity: one compiled shape for the whole saccade loop
+        # (locations never exceed att_max_crops in the driver; round up in
+        # `unit` steps for direct callers that pass more)
+        cap = unit * max(1, -(-len(locations) // unit))
         padded = np.ones((cap, 3), np.float32)
         padded[: len(locations)] = locations[:, :3]
         sizes = np.stack(
@@ -262,13 +279,14 @@ def _rescale_remap(config, dets, scales, offsets):
 
 
 def cornernet_saccade_inference(config, decode_fn, image,
-                                device_crops: bool = False) -> Dict[int, np.ndarray]:
+                                device_crops: bool = True) -> Dict[int, np.ndarray]:
     """Full two-stage saccade inference (cornernet_saccade.py:300-400).
 
     decode_fn(images_nhwc, no_att) -> (detections (B, num_dets, 8),
     atts: list of (B, h, w, 1) sigmoided attention maps or None).
-    ``device_crops``: batch the zoom crops as one jitted device program
-    (fixed att_max_crops capacity) instead of per-crop host resizes.
+    ``device_crops`` (default on, matching the reference's on-device crops):
+    batch the zoom crops as one jitted device program with fixed
+    att_max_crops capacity instead of per-crop host resizes.
     """
     init_sizes = config["init_sizes"]
     ref_dets = config["ref_dets"]

@@ -82,8 +82,31 @@ class TestDeviceCrops:
             host_img, host_off = crop_zoom(image, center, (int(size[0]), int(size[1])), (64, 64))
             np.testing.assert_allclose(np.asarray(dev_offs[i]), host_off)
             d = np.abs(np.asarray(dev_imgs[i]) - host_img)
-            assert np.quantile(d, 0.99) < 2e-2, (i, np.quantile(d, 0.99))
-            assert d.mean() < 5e-3, (i, d.mean())
+            assert d.max() < 5e-3, (i, d.max())
+            assert d.mean() < 5e-5, (i, d.mean())
+
+    def test_prepare_images_reuses_one_compiled_program(self):
+        """Different location counts (<= att_max_crops) must pad to one
+        fixed shape and hit the SAME compiled crop program — no retrace
+        (round-2 advisor finding: a fresh @jax.jit closure per call)."""
+        from object_keypoints_tpu.inference.saccade import (
+            _crop_zoom_program,
+            _prepare_images,
+        )
+
+        rng = np.random.default_rng(1)
+        image = rng.uniform(0, 1, size=(96, 120, 3)).astype(np.float32)
+        cfg = {"input_size": [64, 64], "att_max_crops": 4}
+        prog = _crop_zoom_program(96, 120, 64, 64)
+        assert prog is _crop_zoom_program(96, 120, 64, 64)
+
+        locs2 = np.array([[48, 60, 1.0], [8, 8, 2.0]], np.float32)
+        locs3 = np.array([[48, 60, 1.0], [8, 8, 2.0], [20, 30, 1.0]], np.float32)
+        imgs, offs = _prepare_images(cfg, image, locs2)
+        assert imgs.shape == (2, 64, 64, 3) and offs.shape == (2, 2)
+        assert prog._cache_size() == 1
+        _prepare_images(cfg, image, locs3)
+        assert prog._cache_size() == 1  # padded to capacity -> same program
 
     def test_full_inference_with_device_crops(self):
         """The two-stage driver runs end-to-end with device crops on."""
