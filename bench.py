@@ -14,15 +14,19 @@ Baseline: the driver-set north star of 500 stereo frames/sec/chip
 
 Serving dtype: int8 post-training quantization by default (the production
 serving mode, serving/quantize.py; eligible convs run int8 on the MXU,
-~1.3x over bf16 on this chip). Decoded 3D outputs stay within the 5 mm
-parity gate vs the float path — gated in tests/test_quantize.py every run.
-Set OKT_BENCH_QUANT=0 for the bf16 path, OKT_BENCH_PAIRS=<n> for batch.
+~1.3x over bf16 on this chip). Activation scales are calibrated on REAL
+rendered frames read back through SceneDataset — the same path
+scripts/package_model.py uses in production — not random noise. Decoded 3D
+outputs stay within the 5 mm parity gate vs the float path — gated in
+tests/test_quantize.py every run.
 
-OKT_BENCH_MODE=stereo benchmarks the restored stereo architecture instead
-(forward BOTH views -> epipolar match -> Hartley-Sturm/DLT triangulation,
-pipeline/stereo_jit.py), still as one jitted program per batch.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each run measures BOTH serve architectures and prints TWO JSON lines:
+the stereo-triangulated path (forward both views -> epipolar match ->
+Hartley-Sturm/DLT, pipeline/stereo_jit.py) first, then the headline
+depth-head path LAST (the driver parses the final line). Set
+OKT_BENCH_MODE=stereo to make the triangulated path the headline,
+OKT_BENCH_BOTH=0 to measure only the headline mode,
+OKT_BENCH_QUANT=0 for bf16, OKT_BENCH_PAIRS=<n> for batch.
 """
 
 import json
@@ -36,59 +40,49 @@ import jax.numpy as jnp
 
 PAIRS = int(os.environ.get("OKT_BENCH_PAIRS", "48"))  # sweep r2: 32/48/64 -> 1133/1153/1158 pairs/s; 48 = near-best at 2/3 the memory
 QUANT = os.environ.get("OKT_BENCH_QUANT", "1") != "0"
-MODE = os.environ.get("OKT_BENCH_MODE", "depth")  # depth | stereo
+MODE = os.environ.get("OKT_BENCH_MODE", "depth")  # depth | stereo (headline)
+BOTH = os.environ.get("OKT_BENCH_BOTH", "1") != "0"
 WARMUP = 3
 ITERS = 20
 BASELINE_FPS = 500.0
 
 
-def build():
-    from object_keypoints_tpu.geometry import load_calibration_params
-    from object_keypoints_tpu.models import KeypointNet
-    from object_keypoints_tpu.models.keypoint_net import nhwc_outputs_to_reference
-    from object_keypoints_tpu.pipeline.decode_jit import CameraArrays, _decode_objects_impl
+def _calibration_batch(keypoint_config=(1, 3), n_frames=8):
+    """Real-frame int8 calibration, the scripts/package_model.py production
+    path: render a synthetic sequence to disk, read it back through
+    SceneDataset (normalization + 511 resize), calibrate on those frames."""
+    import tempfile
 
-    params = load_calibration_params("config/calibration.yaml")
-    # camera chain into 64x64 prediction space (scripts/eval_model.py:61-69)
-    from object_keypoints_tpu.geometry import FisheyeCamera
+    from object_keypoints_tpu.data.scene import SceneDataset
+    from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
 
-    offset = np.array([(511.0 / 720.0 * 1280.0 - 511.0) / 2.0, 0.0])
-    cam = (
-        FisheyeCamera(params["K"], params["D"], params["image_size"])
-        .scale(511.0 / 720.0)
-        .cut(offset)
-        .scale(64.0 / 511.0)
+    with tempfile.TemporaryDirectory() as td:
+        seq = os.path.join(td, "seq")
+        write_synthetic_sequence(
+            seq, "config/calibration.yaml", list(keypoint_config),
+            n_frames=n_frames, seed=7,
+        )
+        dataset = SceneDataset(
+            seq, {"keypoint_config": list(keypoint_config)}, augment=False
+        )
+        frames = []
+        for example in dataset:
+            frames.append(np.asarray(example["frame"], np.float32))
+            if len(frames) >= n_frames:
+                break
+    return np.stack(frames)
+
+
+def build(mode, apply_fn, nhwc_outputs_to_reference, params, cam, offset):
+    from object_keypoints_tpu.pipeline.decode_jit import (
+        CameraArrays,
+        _decode_objects_impl,
     )
-    camera = CameraArrays(
-        K=jnp.asarray(cam.K, jnp.float32),
-        D=jnp.asarray(cam.D, jnp.float32),
-        Kinv=jnp.asarray(cam.Kinv, jnp.float32),
-        image_size=jnp.asarray(cam.image_size, jnp.float32),
-    )
-
-    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)  # valve topology [1, 3]
-    frames = jnp.zeros((2 * PAIRS, 511, 511, 3), jnp.bfloat16)
-    variables = model.init({"params": jax.random.key(0)}, frames[:1], train=False)
 
     keypoint_config = (1, 3)
 
-    if QUANT:
-        from object_keypoints_tpu.serving.quantize import (
-            calibrate_activation_scales,
-            quantized_apply,
-        )
-
-        rng = np.random.default_rng(1)
-        calib = jnp.asarray(rng.normal(size=(4,) + frames.shape[1:]), jnp.bfloat16)
-        scales = calibrate_activation_scales(
-            lambda b: model.apply(variables, b, train=False), [calib]
-        )
-        apply_fn = lambda f: quantized_apply(model, variables, scales, f, train=False)
-    else:
-        apply_fn = lambda f: model.apply(variables, f, train=False)
-
-    if MODE == "stereo":
-        from object_keypoints_tpu.geometry import StereoCamera
+    if mode == "stereo":
+        from object_keypoints_tpu.geometry import FisheyeCamera, StereoCamera
         from object_keypoints_tpu.pipeline.stereo_jit import (
             StereoRigArrays,
             stereo_decode_triangulate,
@@ -116,7 +110,14 @@ def build():
             )(heat[:PAIRS], heat[PAIRS:])
             return decoded.points_3d, decoded.match_valid
 
-        return step, frames
+        return step
+
+    camera = CameraArrays(
+        K=jnp.asarray(cam.K, jnp.float32),
+        D=jnp.asarray(cam.D, jnp.float32),
+        Kinv=jnp.asarray(cam.Kinv, jnp.float32),
+        image_size=jnp.asarray(cam.image_size, jnp.float32),
+    )
 
     @jax.jit
     def step(frames):
@@ -132,17 +133,10 @@ def build():
         )(heat, depth, centers)
         return decoded.center_p3d, decoded.keypoints_p3d, decoded.keypoints_valid
 
-    return step, frames
+    return step
 
 
-def main():
-    from object_keypoints_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    step, frames = build()
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.normal(size=frames.shape), jnp.bfloat16)
-
+def measure(step, frames):
     for _ in range(WARMUP):
         out = step(frames)
     jax.block_until_ready(out)
@@ -158,26 +152,81 @@ def main():
         out = step(frames)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return PAIRS * ITERS / dt
 
-    pairs_per_sec = PAIRS * ITERS / dt
+
+def report(mode, pairs_per_sec):
     path = (
         "forward both views+epipolar match+triangulate"
-        if MODE == "stereo"
+        if mode == "stereo"
         else "forward+decode+3D"
     )
     print(
         json.dumps(
             {
-                "metric": "stereo_pairs_per_sec_e2e"
-                if MODE != "stereo"
-                else "stereo_pairs_per_sec_triangulated",
+                "metric": "stereo_pairs_per_sec_triangulated"
+                if mode == "stereo"
+                else "stereo_pairs_per_sec_e2e",
                 "value": round(pairs_per_sec, 2),
                 "unit": "stereo pairs/s (1 chip, 511x511, %s, %s)"
                 % ("int8-PTQ serve" if QUANT else "bf16", path),
                 "vs_baseline": round(pairs_per_sec / BASELINE_FPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    from object_keypoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from object_keypoints_tpu.geometry import FisheyeCamera, load_calibration_params
+    from object_keypoints_tpu.models import KeypointNet
+    from object_keypoints_tpu.models.keypoint_net import nhwc_outputs_to_reference
+
+    params = load_calibration_params("config/calibration.yaml")
+    # camera chain into 64x64 prediction space (scripts/eval_model.py:61-69)
+    offset = np.array([(511.0 / 720.0 * 1280.0 - 511.0) / 2.0, 0.0])
+    cam = (
+        FisheyeCamera(params["K"], params["D"], params["image_size"])
+        .scale(511.0 / 720.0)
+        .cut(offset)
+        .scale(64.0 / 511.0)
+    )
+
+    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)  # valve topology [1, 3]
+    shape = (2 * PAIRS, 511, 511, 3)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1,) + shape[1:], jnp.bfloat16),
+        train=False,
+    )
+
+    if QUANT:
+        from object_keypoints_tpu.serving.quantize import (
+            calibrate_activation_scales,
+            quantized_apply,
+        )
+
+        calib = jnp.asarray(_calibration_batch(), jnp.bfloat16)
+        scales = calibrate_activation_scales(
+            lambda b: model.apply(variables, b, train=False), [calib]
+        )
+        apply_fn = lambda f: quantized_apply(model, variables, scales, f, train=False)
+    else:
+        apply_fn = lambda f: model.apply(variables, f, train=False)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+
+    secondary = "stereo" if MODE != "stereo" else "depth"
+    modes = ([secondary] if BOTH else []) + [MODE]  # headline LAST
+    for mode in modes:
+        step = build(
+            mode, apply_fn, nhwc_outputs_to_reference, params, cam, offset
+        )
+        report(mode, measure(step, frames))
 
 
 if __name__ == "__main__":
