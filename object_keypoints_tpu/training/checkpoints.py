@@ -68,7 +68,19 @@ class CheckpointManager:
     def restore(self, name: str = "last", template: Optional[Any] = None):
         path = os.path.join(self.directory, name)
         msgpack_path = path + ".msgpack"
-        if os.path.exists(msgpack_path):
+        use_msgpack = os.path.exists(msgpack_path)
+        if use_msgpack and os.path.exists(path):
+            # Both formats present (e.g. a multi-host msgpack left next to a
+            # newer single-host Orbax save): restore whichever is newer so a
+            # stale msgpack never silently shadows fresh training state.
+            use_msgpack = os.path.getmtime(msgpack_path) >= os.path.getmtime(path)
+            import warnings
+
+            warnings.warn(
+                f"both {msgpack_path} and {path} exist; restoring the newer "
+                f"({'msgpack' if use_msgpack else 'orbax'}) artifact"
+            )
+        if use_msgpack:
             from flax import serialization
 
             with open(msgpack_path, "rb") as f:

@@ -12,6 +12,14 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compilation cache shared across suite runs (round-2 verdict
+# flagged suite cost). Programs <1 s to compile stay uncached (jax default),
+# so the cache holds only the expensive ones. The multihost subprocess tests
+# deliberately STRIP this var: reloading persisted XLA:CPU AOT executables
+# under jax.distributed hits a cpu_aot_loader machine-feature mismatch that
+# kills one child (see tests/test_multihost.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/okt_test_jax_cache")
+
 import jax  # noqa: E402
 
 # The axon TPU plugin on this machine ignores JAX_PLATFORMS; force via config.

@@ -148,7 +148,13 @@ class TestMultihost:
             env = {
                 k: v
                 for k, v in os.environ.items()
-                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+                # JAX_COMPILATION_CACHE_DIR must NOT reach the children:
+                # reloading persisted XLA:CPU AOT executables in a
+                # jax.distributed process trips a machine-feature mismatch
+                # (cpu_aot_loader) that kills one child and times out the
+                # other's gloo init — measured cold=pass(89s) / warm=fail.
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                             "JAX_COMPILATION_CACHE_DIR")
             }
             env.update(
                 JAX_PLATFORMS="cpu",
@@ -203,7 +209,13 @@ class TestMultihost:
             env = {
                 k: v
                 for k, v in os.environ.items()
-                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+                # JAX_COMPILATION_CACHE_DIR must NOT reach the children:
+                # reloading persisted XLA:CPU AOT executables in a
+                # jax.distributed process trips a machine-feature mismatch
+                # (cpu_aot_loader) that kills one child and times out the
+                # other's gloo init — measured cold=pass(89s) / warm=fail.
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                             "JAX_COMPILATION_CACHE_DIR")
             }
             env.update(
                 JAX_PLATFORMS="cpu",
