@@ -398,3 +398,91 @@ class TestStereoTriangulateReal:
         ref_points = rig_real.triangulate(left, right)
         our_points = np.asarray(rig_ours.triangulate(left, right))
         np.testing.assert_allclose(our_points, ref_points, atol=1e-3)
+
+
+class TestDetectionSamplerReal:
+    def test_gaussian_primitives_match(self, reference):
+        """Our gaussian_radius / draw_gaussian vs the REAL sample/utils.py
+        (gaussian_radius 3-case quadratic :42-76, draw_gaussian :84-96)."""
+        import importlib
+
+        real_utils = importlib.import_module(
+            "perception.corner_net_lite.core.sample.utils"
+        )
+        from object_keypoints_tpu.data import detection_targets as DT
+
+        for size, iou in [((24, 24), 0.3), ((10, 37), 0.7), ((3, 3), 0.3),
+                          ((128, 5), 0.5), ((1, 1), 0.3)]:
+            assert DT.gaussian_radius(size, iou) == pytest.approx(
+                real_utils.gaussian_radius(size, iou), abs=1e-9
+            )
+
+        for center, radius in [((20, 30), 5), ((0, 0), 4), ((63, 63), 7), ((2, 60), 1)]:
+            heat_real = np.zeros((64, 64), np.float32)
+            heat_ours = np.zeros((64, 64), np.float32)
+            real_utils.draw_gaussian(heat_real, list(center), radius)
+            DT.draw_gaussian(heat_ours, center, radius)
+            np.testing.assert_allclose(heat_ours, heat_real, atol=1e-7)
+
+    def test_corner_targets_match_real_sampler(self, reference, tmp_path):
+        """The REAL cornernet sampler (sample/cornernet.py:32-160, debug
+        mode = deterministic: no crop/flip/color) vs our
+        render_corner_targets on identical detections."""
+        import importlib
+        from types import SimpleNamespace
+
+        import cv2
+
+        sample_mod = importlib.import_module(
+            "perception.corner_net_lite.core.sample.cornernet"
+        )
+        from object_keypoints_tpu.data.detection_targets import render_corner_targets
+
+        categories = 10
+        input_size = (255, 255)
+        output_size = (64, 64)
+        rng = np.random.default_rng(5)
+        img_path = str(tmp_path / "img.png")
+        cv2.imwrite(img_path, rng.integers(0, 255, (255, 255, 3), np.uint8))
+        dets = np.array([
+            [10.0, 20.0, 200.0, 180.0, 1],
+            [50.5, 60.25, 190.75, 240.5, 7],
+            [0.0, 0.0, 30.0, 40.0, 10],
+            [100.0, 5.0, 254.0, 254.0, 3],
+        ], np.float32)
+
+        db = SimpleNamespace(
+            configs={
+                "categories": categories, "input_size": input_size,
+                "output_sizes": [output_size], "border": 128,
+                "lighting": False, "rand_crop": False, "rand_color": False,
+                "rand_scales": [1.0], "gaussian_bump": True,
+                "gaussian_iou": 0.3, "gaussian_radius": -1,
+            },
+            db_inds=np.arange(1),
+            mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+            eig_val=np.zeros(3, np.float32), eig_vec=np.eye(3, dtype=np.float32),
+            image_path=lambda i: img_path,
+            detections=lambda i: dets.copy(),
+            shuffle_inds=lambda: None,
+        )
+        syscfg = SimpleNamespace(data_rng=np.random.RandomState(0), batch_size=1)
+
+        out, _ = sample_mod.cornernet(syscfg, db, 0, True, True)  # debug=True
+        tl_h, br_h, mask, tl_r, br_r, tl_t, br_t = [t.numpy() for t in out["ys"]]
+
+        ours = render_corner_targets(
+            dets, categories=categories, input_size=input_size,
+            output_size=output_size,
+        )
+        np.testing.assert_allclose(
+            ours["tl_heatmaps"].transpose(2, 0, 1), tl_h[0], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            ours["br_heatmaps"].transpose(2, 0, 1), br_h[0], atol=1e-6
+        )
+        np.testing.assert_allclose(ours["tl_regrs"], tl_r[0], atol=1e-6)
+        np.testing.assert_allclose(ours["br_regrs"], br_r[0], atol=1e-6)
+        np.testing.assert_array_equal(ours["tl_tags"], tl_t[0])
+        np.testing.assert_array_equal(ours["br_tags"], br_t[0])
+        np.testing.assert_array_equal(ours["tag_mask"].astype(np.uint8), mask[0])
