@@ -6,8 +6,8 @@ Architecture notes (cited to the reference):
 - corner-pool block: two directional pool branches + 3x3 merge with a 1x1
   skip (py_utils/utils.py:187-226); pooling itself is a directional cummax
   (ops/corner_pool.py) instead of the reference's C++ extensions;
-- heads: conv3(with_bn=False) + 1x1 (CornerNet.py:20-24 /
-  CornerNet_Squeeze.py:54-58), heat bias -2.19;
+- heads: convK(with_bn=False) + 1x1, heat bias -2.19; K=3 for CornerNet /
+  Saccade (CornerNet.py:20-24), K=1 for Squeeze (CornerNet_Squeeze.py:54-58);
 - CornerNet: 2 stacks x 5-level residual hourglass, dims
   [256,256,384,384,384,512] mods [2,2,2,2,2,4], 2-stage stem
   (CornerNet.py:31-49);
@@ -115,6 +115,7 @@ class CornerNetModel(nn.Module):
     hourglass: str = "fire"  # 'fire' | 'residual'
     stem_residuals: int = 2  # squeeze has 3, others 2
     cnv_dim: int = 256
+    head_kernel: int = 3  # squeeze's _pred_mod uses 1x1 (CornerNet_Squeeze.py:54-58)
     with_attention: bool = False  # saccade
     att_dims: Tuple[int, ...] = ()
     dtype: jnp.dtype = jnp.float32
@@ -166,14 +167,14 @@ class CornerNetModel(nn.Module):
             br_mod = CornerPoolBlock(
                 self.cnv_dim, pools.bottom_pool, pools.right_pool, name=f"br_mod_{s}", **kw
             )(cnv, train)
-            tl_heat = PredModule(self.categories, bias_init_value=-2.19,
+            tl_heat = PredModule(self.categories, kernel=self.head_kernel, bias_init_value=-2.19,
                                  name=f"tl_heat_{s}", dtype=self.dtype)(tl_mod, train)
-            br_heat = PredModule(self.categories, bias_init_value=-2.19,
+            br_heat = PredModule(self.categories, kernel=self.head_kernel, bias_init_value=-2.19,
                                  name=f"br_heat_{s}", dtype=self.dtype)(br_mod, train)
-            tl_tag = PredModule(1, name=f"tl_tag_{s}", dtype=self.dtype)(tl_mod, train)
-            br_tag = PredModule(1, name=f"br_tag_{s}", dtype=self.dtype)(br_mod, train)
-            tl_off = PredModule(2, name=f"tl_off_{s}", dtype=self.dtype)(tl_mod, train)
-            br_off = PredModule(2, name=f"br_off_{s}", dtype=self.dtype)(br_mod, train)
+            tl_tag = PredModule(1, kernel=self.head_kernel, name=f"tl_tag_{s}", dtype=self.dtype)(tl_mod, train)
+            br_tag = PredModule(1, kernel=self.head_kernel, name=f"br_tag_{s}", dtype=self.dtype)(br_mod, train)
+            tl_off = PredModule(2, kernel=self.head_kernel, name=f"tl_off_{s}", dtype=self.dtype)(tl_mod, train)
+            br_off = PredModule(2, kernel=self.head_kernel, name=f"br_off_{s}", dtype=self.dtype)(br_mod, train)
             return tl_heat, br_heat, tl_tag, br_tag, tl_off, br_off
 
         if not test:
@@ -208,7 +209,7 @@ def cornernet_squeeze(categories: int = 80, dtype=jnp.float32) -> CornerNetModel
     return CornerNetModel(
         categories=categories, stacks=2, levels=4,
         dims=(256, 256, 384, 384, 512), mods=(2, 2, 2, 2, 4),
-        hourglass="fire", stem_residuals=2, dtype=dtype,
+        hourglass="fire", stem_residuals=2, head_kernel=1, dtype=dtype,
     )
 
 

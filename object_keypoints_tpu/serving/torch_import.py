@@ -147,6 +147,51 @@ class _Importer:
             self.fire(f"{tp}.low3.{i}", fp + (f"low3_{i}",))
         self.conv_t(_k(tp, "up2"), fp + ("up2",))
 
+    def res_hg_module(self, tp: str, fp: Tuple[str, ...], level: int,
+                      dims, mods):
+        """Recursive hg_module/saccade_module with the RESIDUAL makers
+        (CornerNet.py:10-16 / CornerNet_Saccade.py:10-16: pool = identity,
+        low1 = stride-2 residual, unpool = parameterless nearest x2) ->
+        models.hourglass.ResidualHourglass. Skip projections exist exactly
+        where dims change or stride != 1 (utils.py:171-175)."""
+        curr_dim, next_dim = dims[0], dims[1]
+        curr_mod, next_mod = mods[0], mods[1]
+        for i in range(curr_mod):
+            self.residual(f"{tp}.up1.{i}", fp + (f"up1_{i}",), has_skip=False)
+        self.residual(f"{tp}.low1.0", fp + ("low1_0",), has_skip=True)  # stride 2
+        for i in range(1, curr_mod):
+            self.residual(f"{tp}.low1.{i}", fp + (f"low1_{i}",), has_skip=False)
+        if level > 1:
+            self.res_hg_module(_k(tp, "low2"), fp + ("low2",), level - 1,
+                               dims[1:], mods[1:])
+        else:
+            for i in range(next_mod):
+                self.residual(f"{tp}.low2.{i}", fp + (f"low2_{i}",), has_skip=False)
+        for i in range(curr_mod - 1):
+            self.residual(f"{tp}.low3.{i}", fp + (f"low3_{i}",), has_skip=False)
+        self.residual(f"{tp}.low3.{curr_mod - 1}", fp + (f"low3_{curr_mod - 1}",),
+                      has_skip=next_dim != curr_dim)
+        # up2 is nn.functional.interpolate - no parameters
+
+    # -- detection-model blocks (corner_net_lite hg_net surface) -------
+    def corner_pool_block(self, tp: str, fp: Tuple[str, ...]):
+        """vendored `corner_pool` (py_utils/utils.py:187-226) ->
+        models.cornernet.CornerPoolBlock (the pool ops themselves are
+        parameterless)."""
+        self.convolution(_k(tp, "p1_conv1"), fp + ("p1_conv1",))
+        self.convolution(_k(tp, "p2_conv1"), fp + ("p2_conv1",))
+        self.conv(_k(tp, "p_conv1.weight"), fp + ("p_conv1",))
+        self.bn(_k(tp, "p_bn1"), fp + ("p_bn1",))
+        self.conv(_k(tp, "conv1.weight"), fp + ("conv1",))
+        self.bn(_k(tp, "bn1"), fp + ("bn1",))
+        self.convolution(_k(tp, "conv2"), fp + ("conv2",))
+
+    def det_pred_module(self, tp: str, fp: Tuple[str, ...]):
+        """_pred_mod: convolution(with_bn=False, so the conv HAS bias) +
+        1x1 conv (CornerNet_Squeeze.py:54-58) -> PredModule."""
+        self.convolution(_k(tp, "0"), fp + ("conv0",))
+        self.conv(_k(tp, "1.weight"), fp + ("conv_out",), bias_key=_k(tp, "1.bias"))
+
 
 def import_keypoint_net(state_dict, stacks: int = 2, levels: int = 4,
                         mods=(2, 2, 2, 2, 4)) -> dict:
@@ -186,3 +231,74 @@ def import_keypoint_net(state_dict, stacks: int = 2, levels: int = 4,
         raise ValueError(f"unmapped reference keys: {sorted(unused)[:8]}"
                          f"{' ...' if len(unused) > 8 else ''}")
     return {"params": imp.params, "batch_stats": imp.stats}
+
+
+def _import_detection_model(state_dict, *, stacks, stem_residuals, hourglass,
+                            levels, dims, mods, att_levels: int = 0) -> dict:
+    """Shared hg_net/saccade_net import: stem + hourglass stacks + corner
+    pools + tl/br heat/tag/off heads (+ saccade attention heads).
+
+    Key prefixes follow hg_net's attribute names (modules.py:95-117 /
+    saccade_net :228-250): hg.pre / hg.hgs.{s} / hg.cnvs.{s} /
+    hg.inters.{s} / hg.inters_.{s} / hg.cnvs_.{s}, then
+    {tl,br}_modules.{s}, {tl,br}_{heats,tags,offs}.{s}, att_modules.{s}.{i}.
+    """
+    imp = _Importer(state_dict)
+
+    imp.convolution("hg.pre.0", ("pre_conv",))
+    for i in range(stem_residuals):
+        imp.residual(f"hg.pre.{i + 1}", (f"pre_res{i + 1}",), has_skip=True)
+
+    for s in range(stacks):
+        if hourglass == "fire":
+            imp.hg_module(f"hg.hgs.{s}", (f"hg_{s}",), levels, tuple(mods))
+        else:
+            imp.res_hg_module(f"hg.hgs.{s}", (f"hg_{s}",), levels,
+                              tuple(dims), tuple(mods))
+        imp.convolution(f"hg.cnvs.{s}", (f"cnv_{s}",))
+        if s < stacks - 1:
+            imp.residual(f"hg.inters.{s}", (f"inter_res_{s}",), has_skip=False)
+            imp.merge_mod(f"hg.inters_.{s}", (f"inter_merge_{s}",))
+            imp.merge_mod(f"hg.cnvs_.{s}", (f"cnv_merge_{s}",))
+        for side in ("tl", "br"):
+            imp.corner_pool_block(f"{side}_modules.{s}", (f"{side}_mod_{s}",))
+            imp.det_pred_module(f"{side}_heats.{s}", (f"{side}_heat_{s}",))
+            imp.det_pred_module(f"{side}_tags.{s}", (f"{side}_tag_{s}",))
+            imp.det_pred_module(f"{side}_offs.{s}", (f"{side}_off_{s}",))
+        for i in range(att_levels):
+            imp.det_pred_module(f"att_modules.{s}.{i}", (f"att_{s}_{i}",))
+
+    unused = set(imp.sd) - imp.used
+    unused = {k for k in unused if "num_batches_tracked" not in k}
+    if unused:
+        raise ValueError(f"unmapped reference keys: {sorted(unused)[:8]}"
+                         f"{' ...' if len(unused) > 8 else ''}")
+    return {"params": imp.params, "batch_stats": imp.stats}
+
+
+def import_cornernet_squeeze(state_dict) -> dict:
+    """Vendored CornerNet_Squeeze detection model (CornerNet_Squeeze.py:
+    53-111) -> flax variables for models.cornernet.cornernet_squeeze()."""
+    return _import_detection_model(
+        state_dict, stacks=2, stem_residuals=2, hourglass="fire",
+        levels=4, dims=(256, 256, 384, 384, 512), mods=(2, 2, 2, 2, 4),
+    )
+
+
+def import_cornernet(state_dict) -> dict:
+    """Vendored CornerNet detection model (CornerNet.py:18-71) -> flax
+    variables for models.cornernet.cornernet()."""
+    return _import_detection_model(
+        state_dict, stacks=2, stem_residuals=1, hourglass="residual",
+        levels=5, dims=(256, 256, 384, 384, 384, 512), mods=(2, 2, 2, 2, 2, 4),
+    )
+
+
+def import_cornernet_saccade(state_dict) -> dict:
+    """Vendored CornerNet_Saccade detection model (CornerNet_Saccade.py:
+    18-100: saccade_net with 3 per-level attention heads per stack) -> flax
+    variables for models.cornernet.cornernet_saccade()."""
+    return _import_detection_model(
+        state_dict, stacks=3, stem_residuals=1, hourglass="residual",
+        levels=3, dims=(256, 384, 384, 512), mods=(1, 1, 1, 1), att_levels=3,
+    )

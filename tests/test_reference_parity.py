@@ -486,3 +486,285 @@ class TestDetectionSamplerReal:
         np.testing.assert_array_equal(ours["tl_tags"], tl_t[0])
         np.testing.assert_array_equal(ours["br_tags"], br_t[0])
         np.testing.assert_array_equal(ours["tag_mask"].astype(np.uint8), mask[0])
+
+
+class TestCornerNetSqueezeModelReal:
+    def test_detection_model_forward_parity(self, reference):
+        """The REAL vendored CornerNet_Squeeze detection model
+        (CornerNet_Squeeze.py:53-111: hg_net + corner-pool modules + tl/br
+        heat/tag/off heads) imported through
+        torch_import.import_cornernet_squeeze must reproduce the real
+        _train forward (modules.py:119-133) on all 12 per-stack heads."""
+        import importlib
+
+        from object_keypoints_tpu.models.cornernet import cornernet_squeeze
+        from object_keypoints_tpu.serving import torch_import as TI
+
+        mod = importlib.import_module(
+            "perception.corner_net_lite.core.models.CornerNet_Squeeze"
+        )
+        torch.manual_seed(1)
+        ref_net = mod.model()
+        ref_net.eval()
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+        variables = TI.import_cornernet_squeeze(ref_net.state_dict())
+        model = cornernet_squeeze()
+
+        x = np.random.default_rng(2).normal(size=(1, 3, 255, 255)).astype(np.float32)
+        with torch.no_grad():
+            touts = ref_net(torch.from_numpy(x))
+        outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+        assert len(outs) == len(touts) == 6
+        for ours_list, ref_list in zip(outs, touts):
+            assert len(ours_list) == len(ref_list) == 2
+            for o, r in zip(ours_list, ref_list):
+                np.testing.assert_allclose(
+                    np.asarray(o).transpose(0, 3, 1, 2), r.numpy(), atol=1e-4
+                )
+
+
+class TestCornerNetModelsReal:
+    def _forward_parity(self, ref_net, variables, model, size, with_atts):
+        x = np.random.default_rng(4).normal(size=(1, 3, size, size)).astype(np.float32)
+        with torch.no_grad():
+            touts = ref_net(torch.from_numpy(x))
+        outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        n = 7 if with_atts else 6
+        assert len(outs) == len(touts) == n
+        for ours_list, ref_list in zip(outs[:6], touts[:6]):
+            for o, r in zip(ours_list, ref_list):
+                np.testing.assert_allclose(
+                    np.asarray(o).transpose(0, 3, 1, 2), r.numpy(), atol=1e-4
+                )
+        if with_atts:
+            for ours_stack, ref_stack in zip(outs[6], touts[6]):
+                assert len(ours_stack) == len(ref_stack)
+                for o, r in zip(ours_stack, ref_stack):
+                    np.testing.assert_allclose(
+                        np.asarray(o).transpose(0, 3, 1, 2), r.numpy(), atol=1e-4
+                    )
+
+    def test_cornernet_forward_parity(self, reference):
+        """The REAL vendored CornerNet (CornerNet.py:18-71: 5-level
+        residual hourglass, identity pool, nearest-x2 unpool) imported via
+        torch_import.import_cornernet reproduces _train on all heads."""
+        import importlib
+
+        from object_keypoints_tpu.models.cornernet import cornernet
+        from object_keypoints_tpu.serving import torch_import as TI
+
+        mod = importlib.import_module(
+            "perception.corner_net_lite.core.models.CornerNet"
+        )
+        torch.manual_seed(2)
+        ref_net = mod.model()
+        ref_net.eval()
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+        variables = TI.import_cornernet(ref_net.state_dict())
+        self._forward_parity(ref_net, variables, cornernet(), 255, with_atts=False)
+
+    def test_cornernet_saccade_forward_parity(self, reference):
+        """The REAL vendored CornerNet_Saccade (CornerNet_Saccade.py:18-100:
+        saccade_net, 3 stacks, per-level attention heads on the deepest-first
+        merge features) imported via torch_import.import_cornernet_saccade
+        reproduces _train on all heads INCLUDING the 9 attention maps."""
+        import importlib
+
+        from object_keypoints_tpu.models.cornernet import cornernet_saccade
+        from object_keypoints_tpu.serving import torch_import as TI
+
+        mod = importlib.import_module(
+            "perception.corner_net_lite.core.models.CornerNet_Saccade"
+        )
+        torch.manual_seed(3)
+        ref_net = mod.model()
+        ref_net.eval()
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+        variables = TI.import_cornernet_saccade(ref_net.state_dict())
+        self._forward_parity(
+            ref_net, variables, cornernet_saccade(), 255, with_atts=True
+        )
+
+
+class TestCornerNetLossesReal:
+    """The REAL vendored CornerNet_Loss / CornerNet_Saccade_Loss
+    (py_utils/losses.py:168-224 / :97-165) vs our
+    training.losses.cornernet_loss / cornernet_saccade_loss — values AND
+    gradients w.r.t. every head tensor."""
+
+    N, C, H, W, M = 2, 3, 16, 16, 8
+
+    def _head_data(self, rng, stacks, with_atts=False):
+        N, C, H, W, M = self.N, self.C, self.H, self.W, self.M
+        outs = {
+            "tl_heats": [rng.normal(size=(N, C, H, W)) for _ in range(stacks)],
+            "br_heats": [rng.normal(size=(N, C, H, W)) for _ in range(stacks)],
+            "tl_tags": [rng.normal(size=(N, 1, H, W)) for _ in range(stacks)],
+            "br_tags": [rng.normal(size=(N, 1, H, W)) for _ in range(stacks)],
+            "tl_offs": [rng.normal(size=(N, 2, H, W)) for _ in range(stacks)],
+            "br_offs": [rng.normal(size=(N, 2, H, W)) for _ in range(stacks)],
+        }
+        gt_tl = rng.uniform(0, 0.9, size=(N, C, H, W))
+        gt_br = rng.uniform(0, 0.9, size=(N, C, H, W))
+        for g in (gt_tl, gt_br):  # a few exact-1 positives (focal pos set)
+            for _ in range(6):
+                g[rng.integers(N), rng.integers(C), rng.integers(H), rng.integers(W)] = 1.0
+        mask = np.zeros((N, self.M), np.float32)
+        mask[:, :5] = 1.0
+        targets = {
+            "gt_tl_heat": gt_tl.astype(np.float32),
+            "gt_br_heat": gt_br.astype(np.float32),
+            "gt_mask": mask,
+            "gt_tl_off": rng.uniform(0, 1, size=(N, M, 2)).astype(np.float32),
+            "gt_br_off": rng.uniform(0, 1, size=(N, M, 2)).astype(np.float32),
+            "gt_tl_ind": rng.integers(0, H * W, size=(N, M)),
+            "gt_br_ind": rng.integers(0, H * W, size=(N, M)),
+        }
+        if with_atts:
+            outs["atts"] = [
+                [rng.normal(size=(N, 1, H // 2**i, W // 2**i)) for i in range(2)]
+                for _ in range(stacks)
+            ]
+            targets["gt_tl_valid"] = (rng.uniform(size=(N, C, H, W)) < 0.8).astype(np.float32)
+            targets["gt_br_valid"] = (rng.uniform(size=(N, C, H, W)) < 0.8).astype(np.float32)
+            gt_atts = []
+            for i in range(2):
+                a = rng.uniform(0, 0.9, size=(N, 1, H // 2**i, W // 2**i))
+                a[0, 0, 0, 0] = 1.0
+                gt_atts.append(a.astype(np.float32))
+            targets["gt_atts"] = gt_atts
+        return outs, targets
+
+    @staticmethod
+    def _ours(outs_np, targets, with_atts=False):
+        """Differentiable jnp loss on the NCHW arrays (transposed inside,
+        tags/offs gathered like training/detection.py:65-68)."""
+        from object_keypoints_tpu.data.detection_targets import gather_tags
+        from object_keypoints_tpu.training.losses import (
+            cornernet_loss,
+            cornernet_saccade_loss,
+        )
+
+        def fn(outs):
+            nhwc = lambda ts: [jnp.transpose(t, (0, 2, 3, 1)) for t in ts]
+            tl_heats = nhwc(outs["tl_heats"])
+            br_heats = nhwc(outs["br_heats"])
+            tl_ind = jnp.asarray(targets["gt_tl_ind"])
+            br_ind = jnp.asarray(targets["gt_br_ind"])
+            tl_tags = [gather_tags(t, tl_ind)[..., 0] for t in nhwc(outs["tl_tags"])]
+            br_tags = [gather_tags(t, br_ind)[..., 0] for t in nhwc(outs["br_tags"])]
+            tl_offs = [gather_tags(t, tl_ind) for t in nhwc(outs["tl_offs"])]
+            br_offs = [gather_tags(t, br_ind) for t in nhwc(outs["br_offs"])]
+            if not with_atts:
+                return cornernet_loss(
+                    (tl_heats, br_heats, tl_tags, br_tags, tl_offs, br_offs),
+                    (
+                        jnp.transpose(jnp.asarray(targets["gt_tl_heat"]), (0, 2, 3, 1)),
+                        jnp.transpose(jnp.asarray(targets["gt_br_heat"]), (0, 2, 3, 1)),
+                        jnp.asarray(targets["gt_mask"]),
+                        jnp.asarray(targets["gt_tl_off"]),
+                        jnp.asarray(targets["gt_br_off"]),
+                    ),
+                )
+            atts = [nhwc(stack) for stack in outs["atts"]]
+            return cornernet_saccade_loss(
+                (tl_heats, br_heats, tl_tags, br_tags, tl_offs, br_offs, atts),
+                (
+                    jnp.transpose(jnp.asarray(targets["gt_tl_heat"]), (0, 2, 3, 1)),
+                    jnp.transpose(jnp.asarray(targets["gt_br_heat"]), (0, 2, 3, 1)),
+                    jnp.asarray(targets["gt_mask"]),
+                    jnp.asarray(targets["gt_tl_off"]),
+                    jnp.asarray(targets["gt_br_off"]),
+                    jnp.transpose(jnp.asarray(targets["gt_tl_valid"]), (0, 2, 3, 1)),
+                    jnp.transpose(jnp.asarray(targets["gt_br_valid"]), (0, 2, 3, 1)),
+                    [jnp.transpose(jnp.asarray(a), (0, 2, 3, 1)) for a in targets["gt_atts"]],
+                ),
+            )
+
+        outs_j = jax.tree_util.tree_map(jnp.asarray, outs_np)
+        val, grads = jax.value_and_grad(fn)(outs_j)
+        return float(val), grads
+
+    def _real(self, reference, outs_np, targets, saccade=False):
+        keys = ["tl_heats", "br_heats", "tl_tags", "br_tags", "tl_offs", "br_offs"]
+        t_outs = {
+            k: [torch.tensor(a, dtype=torch.float64, requires_grad=True)
+                for a in outs_np[k]]
+            for k in keys
+        }
+        # clone: the real losses apply in-place sigmoid_ (losses.py:6-7),
+        # legal on network outputs but not on autograd leaves
+        outs_list = [[t.clone() for t in t_outs[k]] for k in keys]
+        t_targets = [
+            torch.tensor(targets["gt_tl_heat"], dtype=torch.float64),
+            torch.tensor(targets["gt_br_heat"], dtype=torch.float64),
+            # the sampler emits uint8 tag masks (sample/cornernet.py:59) —
+            # dtype matters: _ae_loss does mask+mask then .eq(2)
+            # (losses.py:22-23), arithmetic on uint8 but logical-OR on bool
+            # (which would zero the push term)
+            torch.tensor(targets["gt_mask"].astype(np.uint8)),
+            torch.tensor(targets["gt_tl_off"], dtype=torch.float64),
+            torch.tensor(targets["gt_br_off"], dtype=torch.float64),
+            torch.tensor(targets["gt_tl_ind"]),
+            torch.tensor(targets["gt_br_ind"]),
+        ]
+        if saccade:
+            t_outs["atts"] = [
+                [torch.tensor(a, dtype=torch.float64, requires_grad=True) for a in stack]
+                for stack in outs_np["atts"]
+            ]
+            outs_list.append([[a.clone() for a in stack] for stack in t_outs["atts"]])
+            t_targets += [
+                torch.tensor(targets["gt_tl_valid"], dtype=torch.float64),
+                torch.tensor(targets["gt_br_valid"], dtype=torch.float64),
+                [torch.tensor(a, dtype=torch.float64) for a in targets["gt_atts"]],
+            ]
+            loss_mod = reference.losses.CornerNet_Saccade_Loss(
+                pull_weight=1e-1, push_weight=1e-1
+            )
+        else:
+            loss_mod = reference.losses.CornerNet_Loss(pull_weight=1e-1, push_weight=1e-1)
+        loss = loss_mod(outs_list, t_targets)
+        loss.sum().backward()
+        return float(loss.item()), t_outs
+
+    def _assert_grads(self, grads, t_outs, with_atts):
+        keys = ["tl_heats", "br_heats", "tl_tags", "br_tags", "tl_offs", "br_offs"]
+        for k in keys:
+            for g, t in zip(grads[k], t_outs[k]):
+                np.testing.assert_allclose(
+                    np.asarray(g), t.grad.numpy(), atol=1e-5, err_msg=k
+                )
+        if with_atts:
+            for gs, ts in zip(grads["atts"], t_outs["atts"]):
+                for g, t in zip(gs, ts):
+                    np.testing.assert_allclose(
+                        np.asarray(g), t.grad.numpy(), atol=1e-5, err_msg="atts"
+                    )
+
+    def test_cornernet_loss_value_and_grad(self, reference):
+        rng = np.random.default_rng(7)
+        outs, targets = self._head_data(rng, stacks=2)
+        ref_val, t_outs = self._real(reference, outs, targets, saccade=False)
+        our_val, grads = self._ours(outs, targets, with_atts=False)
+        assert our_val == pytest.approx(ref_val, rel=1e-5)
+        self._assert_grads(grads, t_outs, with_atts=False)
+
+    def test_saccade_loss_value_and_grad(self, reference):
+        rng = np.random.default_rng(8)
+        outs, targets = self._head_data(rng, stacks=3, with_atts=True)
+        ref_val, t_outs = self._real(reference, outs, targets, saccade=True)
+        our_val, grads = self._ours(outs, targets, with_atts=True)
+        assert our_val == pytest.approx(ref_val, rel=1e-5)
+        self._assert_grads(grads, t_outs, with_atts=True)
