@@ -23,6 +23,18 @@ If these beat nn.Conv's int8 lowering, the serving interceptor can rewrite
 eligible convs the same way; either way the numbers go in the round-3
 notes. Prints one JSON line per variant.
 
+MEASURED (round 3, @96 frames, exact=true both cases, reproduced twice):
+    res1_conv1_s2: XLA conv 10.5 ms (88 TOP/s) vs parity dots 32.7 ms -> 0.32x
+    res2_conv1_s2: XLA conv  6.4 ms (73 TOP/s) vs parity dots 11.9 ms -> 0.53x
+The parity-plane dot form LOSES 2-3x at the XLA level too: the shifted
+plane concats materialize (B,h,w,9C/4) int8 operands in HBM, and that
+traffic dwarfs the MXU win — the same verdict as the round-2 Pallas
+variants (tap-concat relayouts). Together with the Mosaic strided-slice
+rejection, every "conv as explicit dots" avenue for the stem is now closed
+with numbers; XLA's own int8 conv lowering (~65-88 TOP/s, 30-40% of the
+218 TOP/s peak) stands. Remaining headroom is HBM-bandwidth- not
+MXU-bound (conv7 writes a 1.6 GB bf16 map @96: ~8 ms of pure traffic).
+
 Usage: python benchmarks/int8_parity_form.py  (env: OKT_BENCH_PAIRS)
 """
 

@@ -14,6 +14,21 @@ Segments mirror models/hourglass.py::HourglassStack:
   -> heads (3x PredictionModule).
 
 Usage: python benchmarks/segment_profile.py  (one JSON line per row)
+
+MEASURED (round 3, @96 frames, int8 = quantize-everything placement):
+    conv7:      bf16 10.01 ms (18.9%)  int8 10.02 ms (10.9%)  0.998x
+    res1:       bf16 22.02 ms (103%)   int8 19.37 ms (67.9%)  1.14x
+    res2:       bf16  8.17 ms (93.9%)  int8  7.48 ms (59.3%)  1.09x
+    hg:         bf16  8.96 ms (43.8%)  int8  9.65 ms (23.5%)  0.93x  <- LOSS
+    cnv:        bf16  4.77 ms (75.6%)  int8  4.00 ms (52.1%)  1.19x
+    full_model: bf16 51.66 ms (110%)   int8 38.25 ms (85.9%)  1.35x
+Segment sum (int8) is 50.6 ms vs 38.2 full-model: XLA's cross-segment
+fusion already stores stem intermediates int8, so per-segment rows
+OVERSTATE isolated cost. conv7 is output-bandwidth-bound (1.6 GB bf16 map
+@96 = ~8 ms at 205 GB/s), not MXU-bound; the hg interior loses under int8
+(tiny spatial extents, f32 skip-add boundaries) — which is why serving's
+default placement now skips "/hg_" (serving/quantize.py
+DEFAULT_SKIP_SUBSTRINGS, benchmarks/quant_skip_sweep.py).
 """
 
 import json
@@ -94,8 +109,12 @@ def main():
                 scales = calibrate_activation_scales(
                     lambda b: mod.apply(variables, b, train=False), [x[:4]]
                 )
+                # skip=lambda p: False pins raw int8-everywhere so the
+                # per-segment numbers stay comparable across rounds even
+                # though serving's default placement now skips the hg
                 fn = jax.jit(
-                    lambda a: quantized_apply(mod, variables, scales, a, train=False)
+                    lambda a: quantized_apply(mod, variables, scales, a,
+                                              train=False, skip=lambda p: False)
                 )
             else:
                 fn = jax.jit(lambda a: mod.apply(variables, a, train=False))

@@ -20,9 +20,10 @@ derived from the captured kernel, so XLA constant-folds the quantized
 weights at compile time. BatchNorm / ReLU / adds stay bf16 and fuse into
 the conv epilogues as before.
 
-Skipped (kept bf16): grouped/depthwise convs (VPU-bound, no MXU win) and
+Skipped (kept bf16): grouped/depthwise convs (VPU-bound, no MXU win),
 convs with fewer than ``min_in_features`` input channels (the 3-channel
-stem conv measured 0.96x in int8).
+stem conv measured 0.96x in int8), and — by measured default — every conv
+inside the hourglass stacks (see ``DEFAULT_SKIP_SUBSTRINGS``).
 """
 
 from __future__ import annotations
@@ -179,6 +180,33 @@ STEM_HANDOFFS = {
     "backbone/pre_res1": "backbone/pre_res2/Conv_0",
 }
 
+# Measured int8 placement (benchmarks/quant_skip_sweep.py, round 3, @96
+# frames): quantizing the hourglass interior LOSES — the hg segment alone
+# runs 0.93x under int8 (9.65 ms int8 vs 8.96 bf16,
+# benchmarks/segment_profile.py) because its deep levels run at tiny
+# spatial extents (8x8/4x4) where quant/dequant VPU overhead and f32
+# skip-add boundaries beat the MXU win. Best full-model placement: int8
+# everywhere EXCEPT "/hg_" paths (38.39 ms vs 38.99 int8-everywhere vs
+# 51.54 bf16). Stem-only (43.99) and skipping heads too (39.09) both lose.
+# Override with OKT_INT8_SKIP=<comma-separated path substrings> (empty
+# string quantizes everything).
+DEFAULT_SKIP_SUBSTRINGS = ("/hg_",)
+
+
+def default_skip() -> Optional[Callable[[str], bool]]:
+    """The measured-default skip predicate (see DEFAULT_SKIP_SUBSTRINGS)."""
+    import os
+
+    env = os.environ.get("OKT_INT8_SKIP")
+    subs = (
+        tuple(s for s in env.split(",") if s)
+        if env is not None
+        else DEFAULT_SKIP_SUBSTRINGS
+    )
+    if not subs:
+        return None
+    return lambda path: any(s in path for s in subs)
+
 
 def make_quantize_interceptor(
     scales: Dict[str, float],
@@ -318,7 +346,13 @@ def _default_handoffs() -> Dict[str, str]:
 def quantized(scales: Dict[str, float], min_in_features: int = 16,
               skip: Optional[Callable[[str], bool]] = None,
               handoffs: Optional[Dict[str, str]] = None):
-    """Context manager: all eligible convs inside run int8."""
+    """Context manager: all eligible convs inside run int8.
+
+    ``skip=None`` applies the measured-default placement (``default_skip``,
+    hourglass interior stays bf16); pass ``skip=lambda p: False`` to
+    quantize every eligible conv."""
+    if skip is None:
+        skip = default_skip()
     if handoffs is None:
         handoffs = _default_handoffs()
     with nn.intercept_methods(
@@ -330,8 +364,12 @@ def quantized(scales: Dict[str, float], min_in_features: int = 16,
 
 def quantized_apply(model: nn.Module, variables, scales: Dict[str, float], *args,
                     min_in_features: int = 16,
+                    skip: Optional[Callable[[str], bool]] = None,
                     handoffs: Optional[Dict[str, str]] = None, **kwargs):
     """``model.apply`` with eligible convs running int8 (jit-safe: call
-    inside your own jit, or wrap the returned closure)."""
-    with quantized(scales, min_in_features=min_in_features, handoffs=handoffs):
+    inside your own jit, or wrap the returned closure). ``skip`` keeps
+    individual conv paths in bf16 (see benchmarks/quant_skip_sweep.py for
+    the measured placement tradeoffs)."""
+    with quantized(scales, min_in_features=min_in_features, skip=skip,
+                   handoffs=handoffs):
         return model.apply(variables, *args, **kwargs)

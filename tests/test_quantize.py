@@ -164,6 +164,41 @@ class TestAccuracy:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(conv.apply(v, x)))
 
 
+class TestPlacement:
+    """The measured-default int8 placement (benchmarks/quant_skip_sweep.py):
+    hourglass interior stays bf16 (DEFAULT_SKIP_SUBSTRINGS), overridable
+    via OKT_INT8_SKIP."""
+
+    def test_default_skip_predicate(self, monkeypatch):
+        monkeypatch.delenv("OKT_INT8_SKIP", raising=False)
+        pred = Q.default_skip()
+        assert pred("backbone/hg_0/up1_0/Conv_0") and not pred("backbone/pre_res1/Conv_0")
+        monkeypatch.setenv("OKT_INT8_SKIP", "")
+        assert Q.default_skip() is None  # empty override = quantize everything
+        monkeypatch.setenv("OKT_INT8_SKIP", "pre_res,_head_")
+        pred = Q.default_skip()
+        assert pred("backbone/pre_res1/Conv_0") and pred("heatmap_head_0/conv0")
+        assert not pred("backbone/hg_0/up1_0/Conv_0")
+
+    def test_default_placement_keeps_hourglass_float(self, calibrated, monkeypatch):
+        """skip=None must apply the measured default (hg stays bf16):
+        bitwise-equal to the explicit /hg_ predicate, different from
+        quantize-everything."""
+        monkeypatch.delenv("OKT_INT8_SKIP", raising=False)
+        model, variables, scales, x = calibrated
+        default = Q.quantized_apply(model, variables, scales, x, train=False)
+        explicit = Q.quantized_apply(model, variables, scales, x, train=False,
+                                     skip=lambda p: "/hg_" in p)
+        everything = Q.quantized_apply(model, variables, scales, x, train=False,
+                                       skip=lambda p: False)
+        for a, b in zip(jax.tree.leaves(default), jax.tree.leaves(explicit)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert any(
+            np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max() > 0
+            for a, b in zip(jax.tree.leaves(default), jax.tree.leaves(everything))
+        )
+
+
 class TestArtifact:
     def test_export_roundtrip_with_scales(self, calibrated, tmp_path):
         model, variables, scales, x = calibrated
