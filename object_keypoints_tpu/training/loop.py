@@ -251,9 +251,24 @@ def train(config: TrainConfig) -> dict:
             ckpt.save_last(state, step)
             ckpt.save_if_best(state, step, mean_val["val_loss"])
 
-    # serving artifact from the final params (package_model.py analog)
+    # serving artifact from the BEST checkpoint — reference semantics:
+    # package_model.py loads the Lightning checkpoint and ModelCheckpoint
+    # keeps top-1 on val_loss (scripts/train.py:170-172), so packaging
+    # serves the best epoch, not the last. The final step can be much
+    # worse when the optimizer oscillates late in training.
     export_dir = os.path.join(config.out_dir, "export")
     if is_main:
+        export_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        if np.isfinite(ckpt.best_val):
+            restored = ckpt.restore(
+                "best",
+                template={"params": state.params,
+                          "batch_stats": state.batch_stats,
+                          "opt_state": state.opt_state, "step": 0,
+                          "val_loss": 0.0},
+            )
+            export_vars = {"params": restored["params"],
+                           "batch_stats": restored["batch_stats"]}
         export_model(
             export_dir,
             {
@@ -263,7 +278,7 @@ def train(config: TrainConfig) -> dict:
                 "keypoint_config": list(config.keypoint_config),
                 **(config.model_overrides or {}),
             },
-            {"params": state.params, "batch_stats": state.batch_stats},
+            export_vars,
         )
     if logger:
         logger.close()

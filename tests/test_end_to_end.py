@@ -69,6 +69,23 @@ class TestTrainingLoop:
         assert os.path.isfile(os.path.join(result["export_dir"], "config.json"))
         assert os.path.isfile(os.path.join(config.out_dir, "metrics.jsonl"))
 
+    def test_export_serves_best_checkpoint(self, train_result):
+        """Reference semantics: package_model.py serves the ModelCheckpoint
+        top-1 on val_loss (scripts/train.py:170-172), so the export must
+        hold the BEST checkpoint's params, not the final step's."""
+        from object_keypoints_tpu.serving.export import load_model
+        from object_keypoints_tpu.training.checkpoints import CheckpointManager
+
+        result, config = train_result
+        import jax
+
+        _, exported, _ = load_model(result["export_dir"])
+        best = CheckpointManager(config.out_dir).restore("best")
+        for a, b in zip(
+            jax.tree.leaves(exported["params"]), jax.tree.leaves(best["params"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_resume_restores_step(self, train_result, tmp_path):
         from object_keypoints_tpu.training.loop import TrainConfig, train
 
@@ -121,12 +138,16 @@ class TestTrainingLoop:
         seq_dir = os.path.join(val_dir, sorted(os.listdir(val_dir))[0])
         repo = pathlib.Path(__file__).resolve().parent.parent
         out = tmp_path / "bench_vis"
+        # Force the child onto CPU: the suite env's JAX_PLATFORMS=axon would
+        # otherwise make it grab (or hang waiting for) the real TPU chip.
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                   OKT_PLATFORM="cpu")
         proc = subprocess.run(
             [_sys.executable, str(repo / "examples" / "model_bench.py"),
              seq_dir, "--model", result["export_dir"],
              "--keypoints", str(repo / "config" / "valve.json"),
              "--out", str(out), "--max-frames", "2"],
-            capture_output=True, text=True, timeout=420, cwd=str(repo),
+            capture_output=True, text=True, timeout=420, cwd=str(repo), env=env,
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert (out / "000000.jpg").exists()
