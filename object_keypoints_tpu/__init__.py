@@ -28,3 +28,20 @@ utils      timers, config, ROS conversions
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit platform override BEFORE any jax backend initializes.
+# Rationale: out-of-process TPU plugins (like the axon tunnel here) can
+# ignore JAX_PLATFORMS/JAX_PLATFORM_NAME and block in backend discovery
+# even when the caller asked for CPU; jax.config.update("jax_platforms")
+# is the only switch that reliably prevents that. Setting OKT_PLATFORM=cpu
+# (or the standard JAX_PLATFORM_NAME) makes every CLI/script in this
+# package runnable on hosts where the accelerator is absent or unreachable.
+import os as _os
+
+_platform = _os.environ.get("OKT_PLATFORM") or _os.environ.get("JAX_PLATFORM_NAME")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+    del _jax
+del _os, _platform
