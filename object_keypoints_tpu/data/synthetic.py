@@ -11,6 +11,7 @@ task, and exact geometry for pipeline-level assertions.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Sequence
 
 import numpy as np
@@ -109,7 +110,11 @@ def make_synthetic_dataset_tree(root: str, calibration_file: str,
                 os.path.join(root, split, f"seq_{i:02d}"),
                 calibration_file,
                 keypoint_config,
-                seed=hash((split, i)) % (1 << 31),
+                # NOT hash(): str hashing is salted per process
+                # (PYTHONHASHSEED), which made every test run generate a
+                # different dataset — and the tiny e2e training fixture
+                # flaky. crc32 is stable across processes.
+                seed=zlib.crc32(f"{split}:{i}".encode()) % (1 << 31),
                 **kwargs,
             )
     return os.path.join(root, "train"), os.path.join(root, "val")
