@@ -308,13 +308,15 @@ def bench_saccade(iters):
     pass -> location decode+NMS -> batched on-device zoom crops (the
     device_crops default) -> second pass -> per-class merge — the
     reference's cornernet_saccade.py:300-400 drive, random weights."""
-    import functools
     import os
 
     import jax
     import jax.numpy as jnp
 
-    from object_keypoints_tpu.inference.saccade import cornernet_saccade_inference
+    from object_keypoints_tpu.inference.saccade import (
+        cornernet_saccade_inference,
+        make_saccade_decode_fn,
+    )
     from object_keypoints_tpu.models.cornernet import cornernet_saccade
     from object_keypoints_tpu.utils.config import DetectionConfig, load_cfg
 
@@ -329,20 +331,7 @@ def bench_saccade(iters):
         (1, config["input_size"][0], config["input_size"][1], 3), jnp.bfloat16
     )
     variables = model.init({"params": jax.random.key(0)}, dummy)
-
-    @functools.partial(jax.jit, static_argnames=("no_att",))
-    def decode_fn(images, no_att):
-        out = model.apply(
-            variables, images, False, True,
-            K=config["top_k"], ae_threshold=config["ae_threshold"],
-            kernel=config["nms_kernel"], num_dets=config["num_dets"],
-            no_border=True,
-        )
-        if no_att:
-            dets = out[0] if isinstance(out, tuple) else out
-            return dets, None
-        (dets, *_), atts = out
-        return dets, atts
+    decode_fn = make_saccade_decode_fn(model, variables, config)
 
     # synthetic scene: textured background + high-contrast boxes so the
     # attention stage has real structure to fire on

@@ -278,6 +278,32 @@ def _rescale_remap(config, dets, scales, offsets):
     ys += offsets[:, 0][:, None, None]
 
 
+def make_saccade_decode_fn(model, variables, config):
+    """The jitted ``decode_fn`` for :func:`cornernet_saccade_inference`
+    over a real CornerNet_Saccade flax model.
+
+    In test mode the attention model ALWAYS returns
+    ``((detections, tl_heat, br_heat, tl_tag, br_tag), atts)``
+    (models/cornernet.py test path), so both branches unpack the inner
+    tuple; ``no_att`` (the final iteration, which never decodes attention)
+    only drops the attention maps from the return so the host skips their
+    transfer — mirroring the reference's no_att flag
+    (cornernet_saccade.py:249-263)."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("no_att",))
+    def decode_fn(images, no_att):
+        (dets, *_), atts = model.apply(
+            variables, images, False, True,
+            K=config["top_k"], ae_threshold=config["ae_threshold"],
+            kernel=config["nms_kernel"], num_dets=config["num_dets"],
+            no_border=True,
+        )
+        return dets, (None if no_att else atts)
+
+    return decode_fn
+
+
 def cornernet_saccade_inference(config, decode_fn, image,
                                 device_crops: bool = True) -> Dict[int, np.ndarray]:
     """Full two-stage saccade inference (cornernet_saccade.py:300-400).

@@ -70,22 +70,9 @@ def main():
     assert image is not None, flags.image
 
     if flags.arch == "CornerNet_Saccade":
-        import functools
+        from object_keypoints_tpu.inference.saccade import make_saccade_decode_fn
 
-        @functools.partial(jax.jit, static_argnames=("no_att",))
-        def decode_fn(images, no_att):
-            out = model.apply(
-                variables, images, False, True,
-                K=config["top_k"], ae_threshold=config["ae_threshold"],
-                kernel=config["nms_kernel"], num_dets=config["num_dets"],
-                no_border=True,
-            )
-            if no_att:
-                dets = out[0] if isinstance(out, tuple) else out
-                return dets, None
-            (dets, *_), atts = out
-            return dets, atts
-
+        decode_fn = make_saccade_decode_fn(model, variables, config)
         boxes = cornernet_saccade_inference(config, decode_fn, image[..., ::-1])
         named = {str(k): v for k, v in boxes.items()}
     else:

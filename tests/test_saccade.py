@@ -172,3 +172,47 @@ class TestFullSaccade:
         # the strongest instance survives; duplicates are soft-NMS-decayed
         assert out[2][:, 4].max() > 0.7
         assert (out[2][:, 4] > 0.0).all()
+
+
+class TestRealModelDecodeFn:
+    def test_two_stage_with_tiny_real_model(self):
+        """Drive cornernet_saccade_inference through make_saccade_decode_fn
+        over a REAL (tiny) attention CornerNetModel, forcing both the
+        attention and the final no_att decode branches — the attention
+        model's test-mode output is ((dets, ...heads), atts) in BOTH cases
+        (models/cornernet.py test path), which a stub can't regress."""
+        import jax
+
+        from object_keypoints_tpu.inference.saccade import make_saccade_decode_fn
+        from object_keypoints_tpu.models.cornernet import CornerNetModel
+
+        config = DetectionConfig({
+            "categories": 2, "input_size": [64, 64], "output_sizes": [[16, 16]],
+            "init_sizes": [32], "att_max_crops": 8,
+            "att_thresholds": [0.0, 0.0],  # zoom into every attention peak
+            "att_scales": [[1, 2], [1, 2]], "att_nms_ks": [3, 3],
+            "nms_algorithm": "exp_soft_nms", "max_per_image": 10,
+            "ref_dets": True, "top_k": 4, "num_dets": 8,
+        })
+        model = CornerNetModel(
+            categories=2, stacks=1, levels=2, dims=(8, 8, 16), mods=(1, 1, 1),
+            hourglass="residual", stem_residuals=1, cnv_dim=8,
+            with_attention=True,
+        )
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, dummy)
+        decode_fn = make_saccade_decode_fn(model, variables, config)
+
+        # both branches directly: atts list with attention, None without
+        dets, atts = decode_fn(dummy, False)
+        assert dets.shape == (1, 8, 8) and len(atts) == 2
+        dets2, atts2 = decode_fn(dummy, True)
+        assert dets2.shape == (1, 8, 8) and atts2 is None
+        np.testing.assert_allclose(np.asarray(dets), np.asarray(dets2))
+
+        # and through the full two-stage driver (np.array(dets) on the
+        # no_att iteration crashed when decode_fn returned the raw tuple)
+        image = (np.random.default_rng(0).uniform(0, 255, (96, 96, 3))
+                 .astype(np.uint8))
+        out = cornernet_saccade_inference(config, decode_fn, image)
+        assert isinstance(out, dict) and set(out.keys()) <= {1, 2}
