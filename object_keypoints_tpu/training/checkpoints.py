@@ -29,6 +29,14 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
         self.best_val = float("inf")
+        self._best_payload = None  # stashed best, not yet flushed to disk
+        # Re-runs/resumes into the same directory must not let an early
+        # (worse) validation overwrite a previously stored best: recover
+        # the stored best_val from the sidecar written on every flush.
+        sidecar = os.path.join(self.directory, "best_val.json")
+        if os.path.exists(sidecar):
+            with open(sidecar, "rt") as f:
+                self.best_val = float(json.load(f)["val_loss"])
         if hparams is not None:
             with open(os.path.join(self.directory, "hparams.json"), "wt") as f:
                 json.dump(hparams, f, indent=2)
@@ -55,15 +63,38 @@ class CheckpointManager:
         self._save("last", {"params": state.params, "batch_stats": state.batch_stats,
                             "opt_state": state.opt_state, "step": step})
 
-    def save_if_best(self, state, step: int, val_loss: float) -> bool:
-        """Keep top-1 on val_loss (ModelCheckpoint save_top_k=1 parity)."""
+    def save_if_best(self, state, step: int, val_loss: float,
+                     defer: bool = False) -> bool:
+        """Keep top-1 on val_loss (ModelCheckpoint save_top_k=1 parity).
+
+        The best payload holds the SERVING state (params/batch_stats/step/
+        val_loss) — resume always goes through ``last``, which keeps the
+        optimizer. With ``defer=True`` the payload is stashed on the host
+        and written on the next :meth:`flush_best`, so the training loop
+        can track the best EVERY epoch while amortizing the (slow) disk
+        save to its checkpoint cadence."""
         if val_loss < self.best_val:
             self.best_val = val_loss
-            self._save("best", {"params": state.params, "batch_stats": state.batch_stats,
-                                "opt_state": state.opt_state, "step": step,
-                                "val_loss": val_loss})
+            self._best_payload = _to_host(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "step": step, "val_loss": val_loss}
+            )
+            if not defer:
+                self.flush_best()
             return True
         return False
+
+    def flush_best(self):
+        """Write any stashed best payload (see ``save_if_best(defer=True)``)."""
+        if self._best_payload is None:
+            return
+        self._save("best", self._best_payload)
+        if jax.process_index() == 0:
+            tmp = os.path.join(self.directory, "best_val.json.tmp")
+            with open(tmp, "wt") as f:
+                json.dump({"val_loss": self.best_val}, f)
+            os.replace(tmp, os.path.join(self.directory, "best_val.json"))
+        self._best_payload = None
 
     def restore(self, name: str = "last", template: Optional[Any] = None):
         path = os.path.join(self.directory, name)

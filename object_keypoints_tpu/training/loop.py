@@ -246,10 +246,14 @@ def train(config: TrainConfig) -> dict:
             print_metrics(step, {"val_loss": mean_val["val_loss"]},
                           extra=f"epoch={epoch} [val]")
 
-        if is_main and ((epoch + 1) % config.ckpt_every == 0
-                        or epoch == config.epochs - 1):
-            ckpt.save_last(state, step)
-            ckpt.save_if_best(state, step, mean_val["val_loss"])
+        if is_main:
+            # best is tracked EVERY epoch (ModelCheckpoint top-1 parity —
+            # gating it on ckpt_every would let the true best epoch slip
+            # through); only the slow disk write amortizes to the cadence.
+            ckpt.save_if_best(state, step, mean_val["val_loss"], defer=True)
+            if (epoch + 1) % config.ckpt_every == 0 or epoch == config.epochs - 1:
+                ckpt.save_last(state, step)
+                ckpt.flush_best()
 
     # serving artifact from the BEST checkpoint — reference semantics:
     # package_model.py loads the Lightning checkpoint and ModelCheckpoint
@@ -260,13 +264,9 @@ def train(config: TrainConfig) -> dict:
     if is_main:
         export_vars = {"params": state.params, "batch_stats": state.batch_stats}
         if np.isfinite(ckpt.best_val):
-            restored = ckpt.restore(
-                "best",
-                template={"params": state.params,
-                          "batch_stats": state.batch_stats,
-                          "opt_state": state.opt_state, "step": 0,
-                          "val_loss": 0.0},
-            )
+            # templateless restore: reads old (with opt_state) and new
+            # (serving-only) best payloads alike
+            restored = ckpt.restore("best")
             export_vars = {"params": restored["params"],
                            "batch_stats": restored["batch_stats"]}
         export_model(

@@ -133,3 +133,47 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             float(metrics_a2["loss"]), float(metrics_b2["loss"]), rtol=1e-3
         )
+
+
+class TestCheckpointBestTracking:
+    """save_if_best/flush_best semantics: best is tracked per epoch, the
+    disk write amortizes to the checkpoint cadence, and best_val survives
+    re-runs into the same directory (a resumed run's first — worse —
+    validation must not overwrite a stored best)."""
+
+    class _State:
+        def __init__(self, value):
+            self.params = {"w": np.full((2,), value, np.float32)}
+            self.batch_stats = {}
+            self.opt_state = ()
+
+    def test_deferred_best_flush_and_sidecar(self, tmp_path):
+        from object_keypoints_tpu.training.checkpoints import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path))
+        # epoch 1: val 0.5 (best so far), deferred -> nothing on disk yet
+        assert ckpt.save_if_best(self._State(1.0), 1, 0.5, defer=True)
+        import os
+
+        assert not os.path.exists(tmp_path / "best")
+        # epoch 2: worse -> stash unchanged
+        assert not ckpt.save_if_best(self._State(2.0), 2, 0.7, defer=True)
+        ckpt.flush_best()
+        best = ckpt.restore("best")
+        assert float(best["val_loss"]) == 0.5
+        np.testing.assert_array_equal(best["params"]["w"], [1.0, 1.0])
+
+        # a NEW manager over the same dir recovers best_val from the
+        # sidecar: a worse first validation must not steal "best"
+        ckpt2 = CheckpointManager(str(tmp_path))
+        assert ckpt2.best_val == 0.5
+        assert not ckpt2.save_if_best(self._State(3.0), 3, 0.6, defer=True)
+        ckpt2.flush_best()  # no stash -> no-op
+        best = ckpt2.restore("best")
+        np.testing.assert_array_equal(best["params"]["w"], [1.0, 1.0])
+        # a genuinely better epoch still wins
+        assert ckpt2.save_if_best(self._State(4.0), 4, 0.1, defer=True)
+        ckpt2.flush_best()
+        best = ckpt2.restore("best")
+        assert float(best["val_loss"]) == 0.1
+        np.testing.assert_array_equal(best["params"]["w"], [4.0, 4.0])
