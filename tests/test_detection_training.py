@@ -512,3 +512,48 @@ class TestVendoredCocoEval:
         out = ds.evaluate(str(res_path))
         assert len(out["stats"]) == 12
         assert out["mAP"] == pytest.approx(1.0)
+
+
+class TestVendoredCocoEvalAgnostic:
+    """pycocotools-compatibility corners: class-agnostic mode (useCats=0)
+    and loadRes' unconditional area recompute."""
+
+    _coco = staticmethod(TestVendoredCocoEval._coco)
+    _run = staticmethod(TestVendoredCocoEval._run)
+
+    def test_class_agnostic_crosses_categories(self, tmp_path):
+        """useCats=0 must match detections to gts of ANY category: a
+        perfect box labeled with the WRONG class scores 0 normally but 1.0
+        class-agnostically (pycocotools aggregates per image)."""
+        from object_keypoints_tpu.vendor.cocotools import COCOeval
+
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50]},
+        ], cats=(1, 2))
+        dets = [
+            {"image_id": 1, "category_id": 2, "bbox": [10, 10, 50, 50], "score": 0.9},
+        ]
+        assert self._run(gt, dets)[0] == pytest.approx(0.0)  # wrong class
+
+        ev = COCOeval(gt, gt.loadRes(dets), "bbox")
+        ev.params.useCats = 0
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        assert ev.stats[0] == pytest.approx(1.0)
+
+    def test_loadres_overwrites_stale_area(self, tmp_path):
+        """A result entry carrying a bogus 'area' must be rebucketed from
+        its bbox (official loadRes recomputes area unconditionally); with
+        the stale value kept, this 32x32 (small) det would land in the
+        'large' bucket and AP_small would be -1."""
+        gt = self._coco(tmp_path, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 32, 32]},
+        ])
+        stats = self._run(gt, [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 32, 32],
+             "score": 0.9, "area": 1e6},
+        ])
+        assert stats[0] == pytest.approx(1.0)
+        assert stats[3] == pytest.approx(1.0)   # AP_small
+        assert stats[5] == pytest.approx(-1.0)  # AP_large: no large gt/det
