@@ -48,28 +48,23 @@ BASELINE_FPS = 500.0
 
 
 def _calibration_batch(keypoint_config=(1, 3), n_frames=8):
-    """Real-frame int8 calibration, the scripts/package_model.py production
-    path: render a synthetic sequence to disk, read it back through
-    SceneDataset (normalization + 511 resize), calibrate on those frames."""
+    """Real-frame int8 calibration through the scripts/package_model.py
+    production collector (serving/calibration.py): render a synthetic
+    sequence to disk, read it back through SceneDataset (normalization +
+    511 resize), calibrate on those frames."""
     import tempfile
 
-    from object_keypoints_tpu.data.scene import SceneDataset
     from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
+    from object_keypoints_tpu.serving.calibration import collect_calibration_frames
 
     with tempfile.TemporaryDirectory() as td:
-        seq = os.path.join(td, "seq")
         write_synthetic_sequence(
-            seq, "config/calibration.yaml", list(keypoint_config),
-            n_frames=n_frames, seed=7,
+            os.path.join(td, "seq"), "config/calibration.yaml",
+            list(keypoint_config), n_frames=n_frames, seed=7,
         )
-        dataset = SceneDataset(
-            seq, {"keypoint_config": list(keypoint_config)}, augment=False
-        )
-        frames = []
-        for example in dataset:
-            frames.append(np.asarray(example["frame"], np.float32))
-            if len(frames) >= n_frames:
-                break
+        frames = collect_calibration_frames([td], keypoint_config,
+                                            n_frames=n_frames)
+    assert frames, "synthetic calibration sequence failed to read back"
     return np.stack(frames)
 
 

@@ -42,10 +42,11 @@ import json
 import os
 import pathlib
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from benchmarks._timing import time_fn
 
 import numpy as np
 
@@ -54,17 +55,6 @@ ITERS = 20
 WARMUP = 3
 
 
-def _time(f, *args):
-    import jax
-
-    for _ in range(WARMUP):
-        out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
 
 
 def _q8(x, scale):
@@ -189,8 +179,8 @@ def main():
         r = np.asarray(ref(x8, k8))
         a = np.asarray(alt(x8, k8))
         exact = bool((r == a).all())
-        t_ref = _time(ref, x8, k8)
-        t_alt = _time(alt, x8, k8)
+        t_ref = time_fn(ref, x8, k8, warmup=WARMUP, iters=ITERS)
+        t_alt = time_fn(alt, x8, k8, warmup=WARMUP, iters=ITERS)
         macs = r.size // B * 9 * shape[-1] * B
         print(json.dumps({
             "case": name, "batch": B, "exact": exact,

@@ -23,9 +23,10 @@ import json
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from benchmarks._timing import time_fn
 
 import numpy as np
 
@@ -34,17 +35,6 @@ ITERS = 20
 WARMUP = 3
 
 
-def _time(f, x):
-    import jax
-
-    for _ in range(WARMUP):
-        out = f(x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = f(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
 
 
 def main():
@@ -98,7 +88,7 @@ def main():
         else:
             fn = jax.jit(lambda a: model.apply(variables, a, train=False))
         try:
-            dt = _time(fn, x)
+            dt = time_fn(fn, x, warmup=WARMUP, iters=ITERS)
         except Exception as e:  # a variant that fails to lower still reports
             print(json.dumps({"variant": name, "error": str(e)[:200]}),
                   flush=True)

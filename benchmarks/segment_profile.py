@@ -35,9 +35,10 @@ import json
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from benchmarks._timing import time_fn
 
 import numpy as np
 
@@ -49,17 +50,6 @@ WARMUP = 3
 PEAK = {"bf16": 126e12, "int8": 218e12}
 
 
-def _time(f, x):
-    import jax
-
-    for _ in range(WARMUP):
-        out = f(x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = f(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
 
 
 def _flops(f, x):
@@ -118,7 +108,7 @@ def main():
                 )
             else:
                 fn = jax.jit(lambda a: mod.apply(variables, a, train=False))
-            dt = _time(fn, x)
+            dt = time_fn(fn, x, warmup=WARMUP, iters=ITERS)
             flops = _flops(lambda a: mod.apply(variables, a, train=False), x)
             key = "int8" if quant else "bf16"
             row[f"{key}_ms"] = round(dt * 1000, 3)

@@ -54,14 +54,17 @@ def main():
         "depth": jnp.asarray(rng.uniform(size=(BATCH, h, w, k)), jnp.float32),
         "centers": jnp.asarray(rng.normal(size=(BATCH, h, w, t, 2)), jnp.float32),
     }
-    step = jax.jit(lambda s, b, key: train_step(model, s, b, key))
+    # call train_step directly — it is already jitted WITH state donation
+    # (trainer.py donate_argnames); an outer jax.jit wrapper would retrace
+    # it undonated and measure a step that keeps two copies of the
+    # 24.95M-param state alive, which is not the production loop's step
     key = jax.random.key(1)
     for _ in range(WARMUP):
-        state, metrics = step(state, batch, key)
+        state, metrics = train_step(model, state, batch, key)
         float(metrics["loss"])  # block per step (axon runtime requirement)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, metrics = step(state, batch, key)
+        state, metrics = train_step(model, state, batch, key)
         float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
     print(json.dumps({

@@ -47,37 +47,17 @@ def _calibration_batches(flags, keypoint_config, data_dirs, input_size=511):
     unit-normal frames only as the last resort (max-abs on random data is
     the flimsiest possible calibration — fine for random-weight throughput
     benches, not for serving a real model)."""
-    import os
-
     import numpy as np
 
-    frames = []
-    for data_dir in data_dirs:
-        if not data_dir or not os.path.isdir(data_dir):
-            continue
-        from object_keypoints_tpu.data.scene import SceneDataset
+    from object_keypoints_tpu.serving.calibration import (
+        calibration_batches,
+        collect_calibration_frames,
+    )
 
-        seqs = sorted(
-            os.path.join(data_dir, d)
-            for d in os.listdir(data_dir)
-            if os.path.isdir(os.path.join(data_dir, d))
-        )
-        for seq in seqs:
-            try:
-                dataset = SceneDataset(
-                    seq, {"keypoint_config": keypoint_config}, augment=False
-                )
-            except (OSError, AssertionError):
-                continue  # not an encoded sequence / wrong topology
-            for example in dataset:
-                frames.append(np.asarray(example["frame"], np.float32))
-                if len(frames) >= flags.calibration_frames:
-                    break
-            if len(frames) >= flags.calibration_frames:
-                break
-        if frames:
-            break
-    if not frames:  # normalized-image proxy: unit-normal matches RGB_MEAN/STD stats
+    frames = collect_calibration_frames(
+        data_dirs, keypoint_config, n_frames=flags.calibration_frames
+    )
+    if frames is None:  # normalized-image proxy: unit-normal matches RGB_MEAN/STD stats
         print("package_model: no calibration data reachable; "
               "falling back to unit-normal frames", file=sys.stderr)
         rng = np.random.default_rng(0)
@@ -86,7 +66,7 @@ def _calibration_batches(flags, keypoint_config, data_dirs, input_size=511):
                 np.float32
             )
         )
-    return [np.stack(frames[i : i + 4]) for i in range(0, len(frames), 4)]
+    return calibration_batches(frames)
 
 
 def main():
