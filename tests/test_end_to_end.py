@@ -10,6 +10,10 @@ cv2 = pytest.importorskip("cv2")
 
 from object_keypoints_tpu.data.synthetic import make_synthetic_dataset_tree
 
+# module fixture trains a real model to convergence (~4 min); default runs include this — deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
+
 TINY_OVERRIDES = dict(
     levels=2,
     dims=(16, 16, 32),

@@ -5,10 +5,15 @@ import pathlib
 import sys
 
 import jax
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import __graft_entry__ as graft
+
+# driver dryruns re-compile the sharded step in subprocesses; default runs include this — deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 
 class TestDryrun:

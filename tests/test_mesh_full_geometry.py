@@ -46,6 +46,10 @@ from object_keypoints_tpu.training.trainer import (
     train_step,
 )
 
+# AOT-compiles the full 24.95M-param model on the virtual mesh (minutes);
+# default runs include this — deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 B, S = 8, 127  # stem /8 -> 16x16 output maps
 K, T = 3, 2
 

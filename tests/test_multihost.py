@@ -17,6 +17,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# two-subprocess jax.distributed runs pay full uncached compiles (minutes
+# each); default runs include this — deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 CHILD = r"""
