@@ -38,6 +38,10 @@ def read_args():
     parser.add_argument("--epochs", default=10, type=int)
     parser.add_argument("--out", default="runs/keypoints", help="Output/checkpoint directory.")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--ckpt-every", default=1, type=int,
+                        help="Write the on-disk checkpoint every N epochs (best "
+                        "tracking still happens every epoch; orbax IO is ~30s "
+                        "per save on this host).")
     return parser.parse_args()
 
 
@@ -75,6 +79,7 @@ def main():
         seed=flags.seed,
         out_dir=flags.out,
         resume=flags.resume,
+        ckpt_every=flags.ckpt_every,
     )
     result = train(config)
     print(json.dumps(result, indent=2))

@@ -32,6 +32,16 @@ def read_args():
     parser.add_argument("--snapshot-dir", default="cache/nnet")
     parser.add_argument("--workers", type=int, default=2,
                         help="Prefetch threads (vendored uses processes).")
+    parser.add_argument("--max-iter", type=int, default=None,
+                        help="Override the config's max_iter.")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="Override the config's learning_rate.")
+    parser.add_argument("--snapshot-every", type=int, default=None,
+                        help="Override the config's snapshot cadence.")
+    parser.add_argument("--tiny", action="store_true",
+                        help="Shrink the model + input contract (matches "
+                        "evaluate_detector.py --tiny) for smoke/accuracy "
+                        "gates on hosts where the full compile is minutes.")
     return parser.parse_args()
 
 
@@ -144,21 +154,47 @@ def main():
         flags.cfg_file + ".json",
     )
     sys_cfg_json, db_cfg_json = load_cfg(cfg_path)
+    if flags.tiny:
+        db_cfg_json = dict(
+            db_cfg_json,
+            input_size=[64, 64], output_sizes=[[16, 16]],
+            top_k=8, num_dets=8, max_per_image=10,
+            rand_crop=False, rand_color=False, lighting=False,
+            att_sizes=[[8, 8], [16, 16], [32, 32]],
+        )
     system_config = SystemConfig(**{"snapshot_name": flags.cfg_file}).update_config(sys_cfg_json)
+    if flags.max_iter is not None:
+        system_config.update_config({"max_iter": flags.max_iter})
+    if flags.lr is not None:
+        system_config.update_config({"learning_rate": flags.lr})
+    if flags.snapshot_every is not None:
+        system_config.update_config({"snapshot": flags.snapshot_every})
     db_config = DetectionConfig(db_cfg_json)
     batch_size = flags.batch_size or system_config.batch_size
 
     dataset = CocoDetectionDataset(flags.annotations, flags.images)
 
-    factory = {
-        "CornerNet": cornernet,
-        "CornerNet_Squeeze": cornernet_squeeze,
-        "CornerNet_Saccade": cornernet_saccade,
-    }[flags.cfg_file.split("-")[0]]
-    model = factory(categories=db_config["categories"], dtype=jnp.bfloat16)
+    if flags.tiny:
+        from object_keypoints_tpu.models.cornernet import CornerNetModel
+
+        arch = flags.cfg_file.split("-")[0]
+        # stem_residuals=1 -> /4 downsample, matching the tiny 64->16 contract
+        model = CornerNetModel(
+            categories=db_config["categories"], stacks=1, levels=2,
+            dims=(8, 8, 16), mods=(1, 1, 1), hourglass="fire",
+            stem_residuals=1, cnv_dim=8,
+            with_attention=arch == "CornerNet_Saccade",
+        )
+    else:
+        factory = {
+            "CornerNet": cornernet,
+            "CornerNet_Squeeze": cornernet_squeeze,
+            "CornerNet_Saccade": cornernet_saccade,
+        }[flags.cfg_file.split("-")[0]]
+        model = factory(categories=db_config["categories"], dtype=jnp.bfloat16)
 
     dummy = jnp.zeros((1, db_config["input_size"][0], db_config["input_size"][1], 3),
-                      jnp.bfloat16)
+                      model.dtype)
     variables = model.init({"params": jax.random.key(0)}, dummy)
 
     os.makedirs(flags.snapshot_dir, exist_ok=True)

@@ -557,3 +557,101 @@ class TestVendoredCocoEvalAgnostic:
         assert stats[0] == pytest.approx(1.0)
         assert stats[3] == pytest.approx(1.0)   # AP_small
         assert stats[5] == pytest.approx(-1.0)  # AP_large: no large gt/det
+
+
+class TestEvaluateDetectorCLI:
+    """scripts/evaluate_detector.py — the vendored evaluate.py driver
+    (corner_net_lite/evaluate.py:16-103 + core/test/cornernet.py:27-73):
+    split iteration -> inference -> results.json -> official COCOeval."""
+
+    @pytest.fixture()
+    def coco_split(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        images, anns = [], []
+        for i in range(2):
+            img = rng.uniform(0, 255, size=(48, 64, 3)).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+            images.append({"id": i + 1, "file_name": f"{i}.jpg",
+                           "width": 64, "height": 48})
+            anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                         "bbox": [4, 4, 16, 20], "area": 320, "iscrowd": 0})
+        ann = {"images": images, "annotations": anns,
+               "categories": [{"id": c, "name": f"c{c}"} for c in range(1, 81)]}
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann))
+        return str(ann_path), str(img_dir)
+
+    def _run(self, args, cwd):
+        import os
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                   OKT_PLATFORM="cpu")
+        return subprocess.run(
+            [_sys.executable, str(cwd / "scripts" / "evaluate_detector.py"),
+             *args],
+            capture_output=True, text=True, timeout=560, cwd=str(cwd), env=env,
+        )
+
+    def test_protocol_end_to_end(self, coco_split, tmp_path):
+        """Random tiny weights: the drive must iterate the split, write the
+        COCO results.json and print the 12-stat summary + one JSON line."""
+        import pathlib as _pl
+
+        repo = _pl.Path(__file__).resolve().parent.parent
+        ann, img_dir = coco_split
+        result_dir = tmp_path / "results"
+        proc = self._run(
+            ["CornerNet_Squeeze", "--annotations", ann, "--image-dir", img_dir,
+             "--random", "--tiny", "--testiter", "7",
+             "--result-dir", str(result_dir)],
+            repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out_json = result_dir / "7" / "validation" / "results.json"
+        assert out_json.exists()
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        payload = json.loads(line)
+        assert set(payload) >= {"mAP", "images", "avg_time_s"}
+        assert payload["images"] == 2
+        assert "Average Precision" in proc.stdout
+
+    @pytest.mark.slow
+    def test_snapshot_loading(self, coco_split, tmp_path):
+        """--testiter must resolve the train_detector snapshot layout
+        <dir>/<cfg>_<iter> (py_factory.py:119-137 parity)."""
+        import pathlib as _pl
+
+        import orbax.checkpoint as ocp
+
+        repo = _pl.Path(__file__).resolve().parent.parent
+        ann, img_dir = coco_split
+        # the same tiny architecture the CLI builds under --tiny
+        model = CornerNetModel(
+            categories=80, stacks=1, levels=2, dims=(8, 8, 16), mods=(1, 1, 1),
+            hourglass="fire", stem_residuals=1, cnv_dim=8,
+        )
+        variables = model.init({"params": jax.random.key(0)},
+                               jnp.zeros((1, 64, 64, 3)))
+        snap_dir = tmp_path / "nnet"
+        snap_dir.mkdir()
+        ocp.PyTreeCheckpointer().save(
+            str(snap_dir / "CornerNet_Squeeze_3"),
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+        )
+        proc = self._run(
+            ["CornerNet_Squeeze", "--annotations", ann, "--image-dir", img_dir,
+             "--tiny", "--testiter", "3", "--snapshot-dir", str(snap_dir),
+             "--result-dir", str(tmp_path / "results"), "--max-images", "1"],
+            repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "loading parameters at iteration: 3" in proc.stdout
+        payload = json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+        assert payload["images"] == 1
