@@ -655,3 +655,65 @@ class TestEvaluateDetectorCLI:
         payload = json.loads(
             [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
         assert payload["images"] == 1
+
+
+@pytest.mark.slow
+class TestDetectorLearns:
+    """The full vendored train->snapshot->evaluate lifecycle produces a
+    detector that genuinely detects (corner_net_lite train.py + evaluate.py
+    end-to-end): train the tiny CornerNet-Squeeze on a synthetic COCO set
+    of colored rectangles, then gate official-COCOeval mAP.
+
+    Measured on this host: 800 iters (~3.5 min CPU unloaded, >9 min when
+    another process owns the core) reaches mAP 0.79 / AP50 0.95; the gate
+    is set at mAP > 0.3 for seed robustness."""
+
+    def _run(self, script, args, cwd, timeout=1500):
+        import os
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                   OKT_PLATFORM="cpu")
+        return subprocess.run(
+            [_sys.executable, str(cwd / "scripts" / script), *args],
+            capture_output=True, text=True, timeout=timeout, cwd=str(cwd),
+            env=env,
+        )
+
+    def test_train_then_evaluate_reaches_map(self, tmp_path):
+        import pathlib as _pl
+
+        from object_keypoints_tpu.data.synthetic import (
+            make_synthetic_coco_dataset,
+        )
+
+        pytest.importorskip("cv2")
+        repo = _pl.Path(__file__).resolve().parent.parent
+        ann, img_dir = make_synthetic_coco_dataset(
+            str(tmp_path / "data"), n_images=64, image_size=(64, 64), seed=0)
+
+        snap_dir = tmp_path / "nnet"
+        proc = self._run(
+            "train_detector.py",
+            ["CornerNet_Squeeze", "--annotations", ann, "--images", img_dir,
+             "--tiny", "--batch-size", "8", "--max-iter", "800",
+             "--lr", "2.5e-3", "--snapshot-every", "800",
+             "--snapshot-dir", str(snap_dir)],
+            repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert (snap_dir / "CornerNet_Squeeze_800").exists()
+
+        proc = self._run(
+            "evaluate_detector.py",
+            ["CornerNet_Squeeze", "--annotations", ann, "--image-dir", img_dir,
+             "--tiny", "--testiter", "800", "--snapshot-dir", str(snap_dir),
+             "--result-dir", str(tmp_path / "results")],
+            repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        payload = json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+        assert payload["images"] == 64
+        assert payload["mAP"] > 0.3, payload
