@@ -142,7 +142,7 @@ def cornernet_inference(config, decode_fn: Callable, image: np.ndarray) -> Dict[
             if merge_bbox:
                 out = np.asarray(
                     nms_ops.soft_nms_merge(
-                        jnp.asarray(cls_dets[:, :5]), Nt=nms_threshold,
+                        jnp.asarray(cls_dets), Nt=nms_threshold,
                         method=method, weight_exp=weight_exp,
                     )
                 )

@@ -99,10 +99,31 @@ def soft_nms_merge(dets, sigma: float = 0.5, Nt: float = 0.3,
                    threshold: float = 0.001, method: int = 2,
                    weight_exp: float = 6.0):
     """Soft-NMS with box-coordinate merging (nms.pyx soft_nms_merge, used at
-    core/test/cornernet.py:12,164-166): each surviving box's coordinates
-    become the score^weight_exp-weighted average of the boxes it absorbed."""
+    core/test/cornernet.py:12,164-166).
+
+    dets: (N, 7) [x1, y1, x2, y2, score, tl_score, br_score] — the corner
+    confidences weight the merge; a (N, 5) input gets unit corner scores.
+
+    Per selection step (highest current score first) every still-alive box
+    with positive intersection contributes its corners with weight
+    ``(1 - decay)**weight_exp`` scaled by its tl/br corner score: x1,y1 are
+    averaged under tl-score weights and x2,y2 under br-score weights, the
+    selected box itself entering with weight 1. Boxes whose decayed score
+    falls below ``threshold`` are dead: score 0, never selected, and no
+    contribution to later merges (the Cython's compaction removal).
+
+    Deliberate quirk fix vs the Cython: its in-place row swaps/compaction
+    move columns 0:5 only, so after any reorder the tl/br weights come from
+    whatever box ORIGINALLY occupied the row (nms.pyx soft_nms_merge swap
+    block). Here corner scores stay attached to their boxes — the evident
+    intent of the algorithm.
+    """
     dets = jnp.asarray(dets, jnp.float32)
     n = dets.shape[0]
+    if dets.shape[1] >= 7:
+        tl_score, br_score = dets[:, 5], dets[:, 6]
+    else:
+        tl_score = br_score = jnp.ones((n,), jnp.float32)
 
     def body(_, state):
         boxes, scores, alive = state
@@ -118,16 +139,22 @@ def soft_nms_merge(dets, sigma: float = 0.5, Nt: float = 0.3,
             weight = jnp.where(iou > Nt, 0.0, 1.0)
         weight = weight.at[i].set(1.0)
 
-        # merge absorbed boxes (iou > Nt, still alive) into box i
-        absorb = (iou > Nt) & alive & valid
-        w = jnp.where(absorb, scores**weight_exp, 0.0).at[i].set(scores[i] ** weight_exp)
-        denom = jnp.sum(w)
-        merged = jnp.sum(boxes[:, :4] * w[:, None], axis=0) / jnp.maximum(denom, 1e-12)
-        boxes = jnp.where(valid, boxes.at[i, :4].set(merged), boxes)
+        # merge weights: (1 - decay)^exp over alive unselected boxes; zero
+        # decay (no intersection) -> zero weight, exactly the skipped Cython
+        # loop body. The selected box contributes itself with weight 1.
+        mw = jnp.where(alive, (1.0 - weight) ** weight_exp, 0.0).at[i].set(1.0)
+        mts = jnp.sum(tl_score * mw)
+        mbs = jnp.sum(br_score * mw)
+        merged_tl = jnp.sum(boxes[:, 0:2] * (tl_score * mw)[:, None], axis=0) / mts
+        merged_br = jnp.sum(boxes[:, 2:4] * (br_score * mw)[:, None], axis=0) / mbs
+        boxes = jnp.where(
+            valid, boxes.at[i, 0:2].set(merged_tl).at[i, 2:4].set(merged_br), boxes
+        )
 
         new_scores = jnp.where(alive & valid, scores * weight, scores)
-        new_scores = jnp.where(new_scores < threshold, 0.0, new_scores)
-        alive = alive.at[i].set(False)
+        dead = new_scores < threshold
+        new_scores = jnp.where(dead, 0.0, new_scores)
+        alive = alive.at[i].set(False) & ~dead
         return boxes, new_scores, alive
 
     boxes, scores, _ = jax.lax.fori_loop(

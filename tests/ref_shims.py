@@ -186,6 +186,102 @@ def _restore_numpy_aliases() -> None:
         np.float = float  # noqa: NPY001
 
 
+def _shim_external_nms() -> None:
+    """Map ``core.external.nms`` onto the ops/nms.py array programs.
+
+    The reference ships this module as a checked-in cpython-37 Cython .so
+    (core/external/nms.cpython-37m-...so) that cannot import on this
+    python; the real inference drivers (core/test/cornernet.py:12,164-168)
+    need ``soft_nms``/``soft_nms_merge`` with the Cython's IN-PLACE calling
+    convention — they ignore the returned keep list and read the mutated
+    buffer.
+
+    Warranty notes for the parity evidence this enables:
+    - live rows are written back in descending decayed-score order (the
+      Cython's selection order) at rows [0, n_live); TRAILING rows get
+      score 0, where the Cython leaves stale duplicates of compacted rows
+      (its removal copies cols 0:5 of the last live row down) — consumers
+      of this shim must treat score <= 0 rows as non-detections;
+    - ``soft_nms_merge`` maps onto our merge, whose corner-score weights
+      stay attached to their boxes (the deliberate quirk fix documented in
+      ops/nms.py — the Cython swaps only columns 0:5, divorcing tl/br
+      scores from their boxes after any reorder), so merge-mode outputs can
+      differ from the .so wherever reorders happened.
+    """
+    name = "perception.corner_net_lite.core.external.nms"
+    if name in sys.modules:
+        return
+    import jax.numpy as jnp
+
+    from object_keypoints_tpu.ops import nms as nms_ops
+
+    def _writeback(boxes, out):
+        out = np.asarray(out)
+        live = out[:, 4] > 0
+        n = int(live.sum())
+        order = np.argsort(-out[live, 4], kind="stable")
+        boxes[:n, :5] = out[live][order][:, :5]
+        if n < len(boxes):
+            boxes[n:, 4] = 0.0
+        return list(range(n))
+
+    def soft_nms(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
+        if boxes.shape[0] == 0:
+            return []
+        return _writeback(
+            boxes,
+            nms_ops.soft_nms(jnp.asarray(boxes[:, :5]), sigma=sigma, Nt=Nt,
+                             threshold=threshold, method=int(method)),
+        )
+
+    def soft_nms_merge(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0,
+                       weight_exp=6.0):
+        if boxes.shape[0] == 0:
+            return []
+        return _writeback(
+            boxes,
+            nms_ops.soft_nms_merge(jnp.asarray(boxes), sigma=sigma, Nt=Nt,
+                                   threshold=threshold, method=int(method),
+                                   weight_exp=weight_exp),
+        )
+
+    def nms(dets, thresh):
+        # keep-indices into the original array, descending score (nms.pyx:17)
+        if dets.shape[0] == 0:
+            return []
+        keep = np.asarray(
+            nms_ops.nms_mask(jnp.asarray(dets, jnp.float32), float(thresh))
+        )
+        order = np.argsort(-dets[:, 4], kind="stable")
+        return [int(i) for i in order if keep[i]]
+
+    mod = types.ModuleType(name)
+    mod.soft_nms = soft_nms
+    mod.soft_nms_merge = soft_nms_merge
+    mod.nms = nms
+    sys.modules[name] = mod
+
+
+@functools.lru_cache(maxsize=None)
+def load_reference_inference_driver():
+    """Import the REAL multi-scale TTA inference driver
+    (core/test/cornernet.py:75-176 cornernet_inference) with
+    ``core.external.nms`` mapped onto our NMS ops (see _shim_external_nms).
+
+    The driver hardcodes CUDA (torch.cuda.FloatTensor mean/std, .cuda()
+    image moves, test/cornernet.py:103-104,140); CPU execution needs the
+    caller to monkeypatch those two names — left to the test so the global
+    mutation is scoped and restored.
+    """
+    from tests import ref_loader
+
+    ref_loader.load_reference()
+    _shim_external_nms()
+    return importlib.import_module(
+        "perception.corner_net_lite.core.test.cornernet"
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def load_reference_data_pipeline():
     """Import the REAL perception.datasets.video + perception.pipeline.

