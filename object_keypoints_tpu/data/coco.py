@@ -3,8 +3,10 @@
 Rebuild of corner_net_lite/core/dbs/coco.py:10-169 without pycocotools
 (not in this image): the COCO annotation format is plain JSON, so indexing,
 detection extraction and results-JSON conversion are implemented directly.
-Official COCOeval mAP is gated on pycocotools being installed; a built-in
-PASCAL-style AP fallback is provided so evaluation works everywhere.
+Evaluation ALWAYS runs the official COCOeval protocol: through pycocotools
+when installed, else through the vendored full-semantics implementation
+(object_keypoints_tpu/vendor/cocotools.py) — same 10-IoU sweep, area
+ranges, maxDets and 12-stat summary either way.
 """
 
 from __future__ import annotations

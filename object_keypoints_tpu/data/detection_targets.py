@@ -21,50 +21,56 @@ MAX_TAG_LEN = 128  # sample/cornernet.py:49
 
 
 def gaussian_radius(det_size, min_overlap: float) -> float:
-    """Least radius keeping IoU >= min_overlap under the 3 shift cases
-    (sample/utils.py:65-86)."""
+    """Least corner-bump radius keeping box IoU >= min_overlap.
+
+    Re-derivation of the 3-case bound (semantics of sample/utils.py:65-86):
+    shifting a corner by r changes the overlap in one of three geometric
+    ways — both corners move inward, the detected box shrinks, or it grows —
+    and each case reduces to a quadratic ``q2*r^2 + q1*r + q0 = 0`` in the
+    admissible radius; ``branch`` selects which root bounds r from above.
+    The binding constraint is the tightest of the three.
+    """
     height, width = det_size
-
-    a1 = 1.0
-    b1 = height + width
-    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
-    r1 = (b1 - math.sqrt(b1 * b1 - 4 * a1 * c1)) / (2 * a1)
-
-    a2 = 4.0
-    b2 = 2 * (height + width)
-    c2 = (1 - min_overlap) * width * height
-    r2 = (b2 - math.sqrt(b2 * b2 - 4 * a2 * c2)) / (2 * a2)
-
-    a3 = 4.0 * min_overlap
-    b3 = -2 * min_overlap * (height + width)
-    c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + math.sqrt(b3 * b3 - 4 * a3 * c3)) / (2 * a3)
-    return min(r1, r2, r3)
-
-
-def gaussian_2d(shape, sigma: float = 1.0) -> np.ndarray:
-    """(sample/utils.py:42-48)."""
-    m, n = [(s - 1.0) / 2.0 for s in shape]
-    y, x = np.ogrid[-m : m + 1, -n : n + 1]
-    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
-    h[h < np.finfo(h.dtype).eps * h.max()] = 0
-    return h
+    t = min_overlap
+    perim_half = height + width
+    area = width * height
+    cases = (
+        # (q2, q1, q0, branch)
+        (1.0, -perim_half, area * (1 - t) / (1 + t), -1.0),  # corners inward
+        (4.0, -2 * perim_half, (1 - t) * area, -1.0),  # box shrunk by r
+        (4.0 * t, 2 * t * perim_half, (t - 1) * area, 1.0),  # box grown by r
+    )
+    bounds = []
+    for q2, q1, q0, branch in cases:
+        disc = math.sqrt(q1 * q1 - 4 * q2 * q0)
+        bounds.append((-q1 + branch * disc) / (2 * q2))
+    return min(bounds)
 
 
 def draw_gaussian(heatmap: np.ndarray, center, radius: int, k: float = 1.0) -> None:
-    """Max-composite a gaussian bump into a heatmap in place
-    (sample/utils.py:50-63)."""
-    diameter = 2 * radius + 1
-    gaussian = gaussian_2d((diameter, diameter), sigma=diameter / 6)
-    x, y = int(center[0]), int(center[1])
-    height, width = heatmap.shape[:2]
-    left, right = min(x, radius), min(width - x, radius + 1)
-    top, bottom = min(y, radius), min(height - y, radius + 1)
-    if right + left <= 0 or bottom + top <= 0:
+    """Max-composite an isotropic gaussian peak into a heatmap in place.
+
+    Semantics of sample/utils.py:50-63 (sigma = diameter/6, truncation to
+    the radius window, sub-eps tail zeroed, max composition), re-expressed
+    as a direct evaluation over the clipped map/window intersection instead
+    of slicing a precomputed (2r+1)^2 kernel — no kernel allocation, and the
+    clipping arithmetic is plain rectangle intersection.
+    """
+    cx, cy = int(center[0]), int(center[1])
+    h, w = heatmap.shape[:2]
+    x0, x1 = max(cx - radius, 0), min(cx + radius + 1, w)
+    y0, y1 = max(cy - radius, 0), min(cy + radius + 1, h)
+    if x1 <= x0 or y1 <= y0:
         return
-    masked_heatmap = heatmap[y - top : y + bottom, x - left : x + right]
-    masked_gaussian = gaussian[radius - top : radius + bottom, radius - left : radius + right]
-    np.maximum(masked_heatmap, masked_gaussian * k, out=masked_heatmap)
+    sigma = (2 * radius + 1) / 6
+    dx = np.arange(x0, x1, dtype=np.float64)[None, :] - cx
+    dy = np.arange(y0, y1, dtype=np.float64)[:, None] - cy
+    bump = np.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+    # the untruncated peak value is exp(0) == 1, so the support cutoff is
+    # absolute: anything below f64 eps is outside the kernel's support
+    bump[bump < np.finfo(bump.dtype).eps] = 0.0
+    window = heatmap[y0:y1, x0:x1]
+    np.maximum(window, bump * k, out=window)
 
 
 def render_corner_targets(
