@@ -27,6 +27,12 @@ depth-head path LAST (the driver parses the final line). Set
 OKT_BENCH_MODE=stereo to make the triangulated path the headline,
 OKT_BENCH_BOTH=0 to measure only the headline mode,
 OKT_BENCH_QUANT=0 for bf16, OKT_BENCH_PAIRS=<n> for batch.
+
+Weights: random init by default (cross-round comparability — every
+BENCH_r*.json used it). Set OKT_BENCH_PARAMS=<export_dir> to load a
+trained serving artifact (scripts/train.py export/ or package_model.py
+output) so the decode tail sees a real peak population; the model config
+must be the valve topology the decode stage is built for (heatmaps_out 3).
 """
 
 import json
@@ -163,8 +169,10 @@ def report(mode, pairs_per_sec):
                 if mode == "stereo"
                 else "stereo_pairs_per_sec_e2e",
                 "value": round(pairs_per_sec, 2),
-                "unit": "stereo pairs/s (1 chip, 511x511, %s, %s)"
-                % ("int8-PTQ serve" if QUANT else "bf16", path),
+                "unit": "stereo pairs/s (1 chip, 511x511, %s, %s%s)"
+                % ("int8-PTQ serve" if QUANT else "bf16", path,
+                   ", trained weights" if os.environ.get("OKT_BENCH_PARAMS")
+                   else ""),
                 "vs_baseline": round(pairs_per_sec / BASELINE_FPS, 3),
             }
         ),
@@ -191,12 +199,22 @@ def main():
         .scale(64.0 / 511.0)
     )
 
-    model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)  # valve topology [1, 3]
     shape = (2 * PAIRS, 511, 511, 3)
-    variables = model.init(
-        {"params": jax.random.key(0)}, jnp.zeros((1,) + shape[1:], jnp.bfloat16),
-        train=False,
-    )
+    params_dir = os.environ.get("OKT_BENCH_PARAMS")
+    if params_dir:
+        from object_keypoints_tpu.serving.export import load_model
+
+        model, variables, config = load_model(params_dir, dtype=jnp.bfloat16)
+        assert config["heatmaps_out"] == 3, (
+            f"bench decode stage is valve-topology ([1, 3] -> 3 maps); "
+            f"artifact has heatmaps_out={config['heatmaps_out']}"
+        )
+    else:
+        model = KeypointNet(heatmaps_out=3, dtype=jnp.bfloat16)  # valve topology [1, 3]
+        variables = model.init(
+            {"params": jax.random.key(0)}, jnp.zeros((1,) + shape[1:], jnp.bfloat16),
+            train=False,
+        )
 
     if QUANT:
         from object_keypoints_tpu.serving.quantize import (

@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Device time of the full-geometry train step (default batch 8).
+"""Device time + achieved TFLOP/s of the full-geometry train step.
 
 Measures ONLY the jitted train_step (forward + backward + adamw update,
 the device work of scripts/train.py) on synthetic device-resident batches,
 blocking on the loss scalar every step — the production loop's pattern
 (training/loop.py; free-running dispatch stalls this runtime ~70x).
 The training CLI's wall step time on this 1-core host is data-loader-bound
-and says nothing about the chip. Prints one JSON line.
+and says nothing about the chip.
 
-Usage: python benchmarks/train_step_time.py   (env: OKT_TRAIN_BATCH)
+Sweeps BOTH compute dtypes (fp32 = CLI default, bf16 = --fp16 /
+TrainConfig.bf16 — the reference's Lightning precision=16,
+scripts/train.py:23,177) across batch sizes, printing one JSON line per
+config with the XLA cost-analysis FLOPs and the achieved fraction of the
+chip's 126 TFLOP/s bf16 peak (the segment_profile.py convention; fp32
+rows show the same denominator, labeled, since this chip has no separate
+fp32 MXU peak worth quoting).
+
+Usage: python benchmarks/train_step_time.py
+Env:   OKT_TRAIN_BATCHES=4,8,16  OKT_TRAIN_DTYPES=fp32,bf16  OKT_TRAIN_ITERS
 """
 
 import json
@@ -21,12 +30,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-BATCH = int(os.environ.get("OKT_TRAIN_BATCH", "8"))
-ITERS = 30
+BATCHES = [int(b) for b in os.environ.get("OKT_TRAIN_BATCHES", "4,8,16").split(",")]
+DTYPES = os.environ.get("OKT_TRAIN_DTYPES", "fp32,bf16").split(",")
+ITERS = int(os.environ.get("OKT_TRAIN_ITERS", "30"))
 WARMUP = 3
+PEAK_BF16 = 126e12  # chip peak measured round 2 (CLAUDE.md)
 
 
-def main():
+def bench_one(dtype_name: str, batch_size: int) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,29 +47,42 @@ def main():
         make_optimizer,
         train_step,
     )
-    from object_keypoints_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
-    model = KeypointNet(heatmaps_out=3)  # full geometry, fp32 (CLI default)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    # full geometry; bf16 compute keeps fp32 params + fp32 loss accumulation
+    # exactly like TrainConfig.bf16 (training/loop.py build_model)
+    model = KeypointNet(heatmaps_out=3, dtype=dtype)
     size, k, t = 511, 3, 2
     h = w = 64
     variables = model.init(
-        {"params": jax.random.key(0)}, jnp.zeros((1, size, size, 3)), train=False
+        {"params": jax.random.key(0)}, jnp.zeros((1, size, size, 3), dtype),
+        train=False,
     )
     state = create_train_state(model, variables, make_optimizer(lr=4e-3))
 
     rng = np.random.default_rng(0)
     batch = {
-        "frame": jnp.asarray(rng.normal(size=(BATCH, size, size, 3)), jnp.float32),
-        "heatmaps": jnp.asarray(rng.uniform(size=(BATCH, h, w, k)), jnp.float32),
-        "depth": jnp.asarray(rng.uniform(size=(BATCH, h, w, k)), jnp.float32),
-        "centers": jnp.asarray(rng.normal(size=(BATCH, h, w, t, 2)), jnp.float32),
+        "frame": jnp.asarray(rng.normal(size=(batch_size, size, size, 3)), dtype),
+        "heatmaps": jnp.asarray(rng.uniform(size=(batch_size, h, w, k)), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(size=(batch_size, h, w, k)), jnp.float32),
+        "centers": jnp.asarray(rng.normal(size=(batch_size, h, w, t, 2)), jnp.float32),
     }
-    # call train_step directly — it is already jitted WITH state donation
-    # (trainer.py donate_argnames); an outer jax.jit wrapper would retrace
-    # it undonated and measure a step that keeps two copies of the
-    # 24.95M-param state alive, which is not the production loop's step
     key = jax.random.key(1)
+
+    flops = float("nan")
+    try:
+        # train_step is already jitted (with donation); .lower() compiles
+        # the exact program the timed calls below reuse from the jit cache
+        cost = train_step.lower(model, state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
+
+    # call train_step directly — it is already jitted WITH state donation
+    # (trainer.py donate_argnames); an outer undonated wrapper would measure
+    # a step that keeps two copies of the 24.95M-param state alive
     for _ in range(WARMUP):
         state, metrics = train_step(model, state, batch, key)
         float(metrics["loss"])  # block per step (axon runtime requirement)
@@ -67,12 +91,27 @@ def main():
         state, metrics = train_step(model, state, batch, key)
         float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
-    print(json.dumps({
-        "metric": "train_step_ms", "batch": BATCH,
+
+    row = {
+        "metric": "train_step_ms", "dtype": dtype_name, "batch": batch_size,
         "ms": round(dt * 1000, 2),
         "steps_per_s": round(1 / dt, 2),
-        "frames_per_s": round(BATCH / dt, 1),
-    }), flush=True)
+        "frames_per_s": round(batch_size / dt, 1),
+    }
+    if np.isfinite(flops):
+        row["tflops"] = round(flops / 1e12, 2)
+        row["achieved_tflops_per_s"] = round(flops / dt / 1e12, 1)
+        row["pct_bf16_peak"] = round(100 * flops / dt / PEAK_BF16, 1)
+    return row
+
+
+def main():
+    from object_keypoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    for dtype_name in DTYPES:
+        for batch_size in BATCHES:
+            print(json.dumps(bench_one(dtype_name, batch_size)), flush=True)
 
 
 if __name__ == "__main__":
