@@ -385,19 +385,35 @@ def main():
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", default=None,
+                        help="Comma-separated config names to run (e.g. "
+                        "'saccade,stereo_e2e'); default all seven.")
     flags = parser.parse_args()
     iters = 5 if flags.quick else 20
 
-    for fn in (
-        lambda: bench_single_image_inference(iters),
-        lambda: bench_stereo_triangulation(iters),
-        lambda: bench_overfit(3 if flags.quick else 10),
-        lambda: bench_cups_association(iters),
-        lambda: bench_video_eval(flags.quick),
-        lambda: bench_stereo_e2e(iters, pairs=4 if flags.quick else 16),
-        lambda: bench_saccade(2 if flags.quick else 10),
-    ):
-        print(json.dumps(fn()), flush=True)
+    configs = (
+        ("single_image", lambda: bench_single_image_inference(iters)),
+        ("stereo_triangulation", lambda: bench_stereo_triangulation(iters)),
+        ("overfit", lambda: bench_overfit(3 if flags.quick else 10)),
+        ("cups_association", lambda: bench_cups_association(iters)),
+        ("video_eval", lambda: bench_video_eval(flags.quick)),
+        ("stereo_e2e", lambda: bench_stereo_e2e(iters, pairs=4 if flags.quick else 16)),
+        ("saccade", lambda: bench_saccade(2 if flags.quick else 10)),
+    )
+    only = set(flags.only.split(",")) if flags.only else None
+    failed = False
+    for name, fn in configs:
+        if only is not None and name not in only:
+            continue
+        # one config failing must not eat the remaining measurements
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # noqa: BLE001
+            failed = True
+            print(json.dumps({"metric": name, "error": repr(e)[:500]}),
+                  flush=True)
+    if failed:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -179,15 +179,20 @@ class Detector:
             i: str(i) for i in range(1, config["categories"] + 1)
         }
 
+        # variables enter the jitted program as an ARGUMENT, not a closure:
+        # closed-over weights are serialized into the program itself, which
+        # both re-traces on weight swap and overflows the axon backend's
+        # remote-compile request limit for the big detectors (HTTP 413 at
+        # CornerNet_Saccade's ~116M params)
         @functools.partial(jax.jit, static_argnames=("K", "ae_threshold", "kernel", "num_dets"))
-        def decode_fn(images, K, ae_threshold, kernel, num_dets):
+        def decode_fn(variables, images, K, ae_threshold, kernel, num_dets):
             out = model.apply(
                 variables, images, False, True,
                 K=K, ae_threshold=ae_threshold, kernel=kernel, num_dets=num_dets,
             )
             return out[0]
 
-        self._decode_fn = decode_fn
+        self._decode_fn = functools.partial(decode_fn, variables)
 
     def __call__(self, image):
         by_id = cornernet_inference(self.config, self._decode_fn, image)

@@ -291,8 +291,13 @@ def make_saccade_decode_fn(model, variables, config):
     (cornernet_saccade.py:249-263)."""
     import jax
 
+    # variables are a jit ARGUMENT, not a closure constant: closed-over
+    # weights get serialized into the program shipped to the compiler,
+    # which overflows the axon remote-compile request limit at
+    # CornerNet_Saccade's param count (HTTP 413) and would re-trace on
+    # every weight swap.
     @functools.partial(jax.jit, static_argnames=("no_att",))
-    def decode_fn(images, no_att):
+    def _decode(variables, images, no_att):
         (dets, *_), atts = model.apply(
             variables, images, False, True,
             K=config["top_k"], ae_threshold=config["ae_threshold"],
@@ -301,7 +306,7 @@ def make_saccade_decode_fn(model, variables, config):
         )
         return dets, (None if no_att else atts)
 
-    return decode_fn
+    return functools.partial(_decode, variables)
 
 
 def cornernet_saccade_inference(config, decode_fn, image,
