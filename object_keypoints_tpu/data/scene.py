@@ -41,9 +41,9 @@ from object_keypoints_tpu.data.augment import AugmentationPipeline
 from object_keypoints_tpu.geometry import cameras as camera_utils
 from object_keypoints_tpu.geometry import linalg
 
-# ImageNet-ish normalization constants from the reference (video.py:55-56).
-RGB_MEAN = np.array([0.40789654, 0.44719302, 0.47026115], dtype=np.float32)
-RGB_STD = np.array([0.28863828, 0.27408164, 0.27809835], dtype=np.float32)
+# ImageNet-ish normalization constants (reference video.py:55-56); canonical
+# home is constants.py so device code can import them without cv2/h5py.
+from object_keypoints_tpu.constants import RGB_MEAN, RGB_STD  # noqa: E402
 
 KEYPOINT_FILENAME = "keypoints.json"  # perception/constants.py:9
 
@@ -61,7 +61,7 @@ class SceneDataset:
     def __init__(self, base_dir, keypoint_config, augment: bool = False,
                  augment_color: bool = False, include_pose: bool = False,
                  seed: Optional[int] = None, host_targets: Optional[bool] = None,
-                 cache_frames: Optional[bool] = None):
+                 cache_frames: Optional[bool] = None, normalize: bool = True):
         del augment_color  # accepted-and-unused, like the reference call sites
         self.base_dir = os.path.expanduser(str(base_dir))
         self.metadata_path = os.path.join(self.base_dir, "data.hdf5")
@@ -103,6 +103,13 @@ class SceneDataset:
         if cache_frames is None:
             cache_frames = os.environ.get("OKT_CACHE_FRAMES", "1") == "1"
         self._cache: Optional[list] = [] if cache_frames else None
+        # normalize=False emits the raw uint8 HWC frame (post-augment,
+        # pre-normalization). The training loop uses this to ship 4x fewer
+        # bytes to the device and fuse (x/255 - mean)/std into the jitted
+        # step (training/trainer.py) — on the tunneled accelerator the
+        # float32 frame payload dominates the wall step time. Default True
+        # = the reference's normalized-float contract (video.py:215).
+        self.normalize = normalize
 
     def __len__(self):
         return self.poses.shape[0]
@@ -196,9 +203,12 @@ class SceneDataset:
                 self.target_size,
             )
 
-        from object_keypoints_tpu.data.native import normalize_image
+        if self.normalize:
+            from object_keypoints_tpu.data.native import normalize_image
 
-        image = normalize_image(frame, RGB_MEAN, RGB_STD)
+            image = normalize_image(frame, RGB_MEAN, RGB_STD)
+        else:
+            image = frame  # raw uint8; the device step normalizes
 
         example = {
             "frame": image,  # (511, 511, 3) NHWC

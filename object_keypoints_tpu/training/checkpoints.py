@@ -69,17 +69,27 @@ class CheckpointManager:
 
         The best payload holds the SERVING state (params/batch_stats/step/
         val_loss) — resume always goes through ``last``, which keeps the
-        optimizer. With ``defer=True`` the payload is stashed on the host
-        and written on the next :meth:`flush_best`, so the training loop
-        can track the best EVERY epoch while amortizing the (slow) disk
-        save to its checkpoint cadence."""
+        optimizer. With ``defer=True`` the payload is stashed as a
+        DEVICE-side copy and only fetched to the host on the next
+        :meth:`flush_best`, so the training loop can track the best EVERY
+        epoch while amortizing both the (slow) disk save and the
+        device->host transfer to its checkpoint cadence — on a tunneled
+        accelerator the eager ~100 MB state fetch cost ~60 s per improving
+        epoch (measured round 4). ``jnp.copy`` gives fresh buffers, so the
+        stash survives the train step's donated-state buffer reuse."""
         if val_loss < self.best_val:
+            import jax.numpy as jnp
+
             self.best_val = val_loss
-            self._best_payload = _to_host(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "step": step, "val_loss": val_loss}
-            )
-            if not defer:
+            payload = {"params": state.params, "batch_stats": state.batch_stats,
+                       "step": step, "val_loss": val_loss}
+            if defer:
+                self._best_payload = jax.tree.map(
+                    lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                    payload,
+                )
+            else:
+                self._best_payload = _to_host(payload)
                 self.flush_best()
             return True
         return False

@@ -131,10 +131,15 @@ def train(config: TrainConfig) -> dict:
     model = build_model(config)
 
     data_seed = config.seed + 1009 * jax.process_index()
+    # normalize=False: frames cross host->device as uint8 (4x less traffic
+    # — the dominant wall-step cost on a tunneled chip); the jitted steps
+    # normalize on device (trainer.prepare_frames, numerically identical)
     train_sets = _build_sequences(config.train, config.keypoint_config,
-                                  seed=data_seed, augment=True)
+                                  seed=data_seed, augment=True,
+                                  normalize=False)
     val_sets = _build_sequences(config.val, config.keypoint_config,
-                                augment=False, include_pose=True)
+                                augment=False, include_pose=True,
+                                normalize=False)
 
     rng = jax.random.key(config.seed)
     init_rng, dropout_rng = jax.random.split(rng)
@@ -202,8 +207,6 @@ def train(config: TrainConfig) -> dict:
     for epoch in range(config.epochs):
         epoch_steps = 0
         for batch in device_prefetch(_train_batches(), sharding=sharding):
-            if config.bf16:
-                batch["frame"] = batch["frame"].astype(jnp.bfloat16)
             state, metrics = train_step(
                 model, state, batch, dropout_rng,
                 depth_weight=config.depth_weight, center_weight=config.center_weight,
@@ -229,8 +232,6 @@ def train(config: TrainConfig) -> dict:
         for batch in device_prefetch(
             _val_batches(), sharding=sharding if n_proc > 1 else None
         ):
-            if config.bf16:
-                batch["frame"] = batch["frame"].astype(jnp.bfloat16)
             val_metrics.append(
                 {k: float(v) for k, v in eval_step(
                     model, state, batch,

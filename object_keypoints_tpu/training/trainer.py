@@ -23,7 +23,20 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from object_keypoints_tpu.constants import RGB_MEAN, RGB_STD
 from object_keypoints_tpu.training.losses import keypoint_loss
+
+
+def prepare_frames(frames, dtype):
+    """Device-side frame ingest: raw uint8 HWC frames are normalized
+    ((x/255 - mean)/std, the reference's video.py:215 transform, computed
+    in f32 exactly like the host normalizer) and cast to the model compute
+    dtype. Already-normalized float frames just get the dtype cast. Lets
+    the data loader ship uint8 — 4x less host->device traffic, which
+    dominates the wall step on a tunneled accelerator."""
+    if frames.dtype == jnp.uint8:
+        frames = (frames.astype(jnp.float32) / 255.0 - RGB_MEAN) / RGB_STD
+    return frames.astype(dtype)
 
 
 class TrainState(struct.PyTreeNode):
@@ -87,14 +100,15 @@ def loss_and_metrics(model, params, batch_stats, batch, train: bool,
     """Forward + reference loss. batch: dict(frame, heatmaps, depth, centers)
     in NHWC (heatmaps/depth (N,H,W,K), centers (N,H,W,T,2))."""
     variables = {"params": params, "batch_stats": batch_stats}
+    frames = prepare_frames(batch["frame"], model.dtype)
     if train:
         outs, new_state = model.apply(
-            variables, batch["frame"], train=True,
+            variables, frames, train=True,
             rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
         )
         new_batch_stats = new_state["batch_stats"]
     else:
-        outs = model.apply(variables, batch["frame"], train=False)
+        outs = model.apply(variables, frames, train=False)
         new_batch_stats = batch_stats
 
     heatmaps = [h.astype(jnp.float32) for h in outs.heatmaps]

@@ -70,6 +70,22 @@ class TestSceneDataset:
     def test_stale_alias_exists(self):
         assert StereoVideoDataset is SceneDataset
 
+    def test_normalize_false_emits_raw_uint8(self, sequence_dir):
+        """normalize=False ships the raw uint8 frame (the training loop's
+        4x-cheaper device transfer); the host normalizer applied to it must
+        reproduce the default output exactly, and targets are unaffected."""
+        from object_keypoints_tpu.constants import RGB_MEAN, RGB_STD
+        from object_keypoints_tpu.data.native import normalize_image
+
+        kc = {"keypoint_config": [1, 3]}
+        raw = next(iter(SceneDataset(sequence_dir, kc, normalize=False)))
+        ref = next(iter(SceneDataset(sequence_dir, kc)))
+        assert raw["frame"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            normalize_image(raw["frame"], RGB_MEAN, RGB_STD), ref["frame"]
+        )
+        np.testing.assert_array_equal(raw["heatmaps"], ref["heatmaps"])
+
     def test_wrong_keypoint_count_asserts(self, sequence_dir):
         with pytest.raises(AssertionError):
             SceneDataset(sequence_dir, {"keypoint_config": [1, 1, 1]})  # 5 per object vs 4 labeled

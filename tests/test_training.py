@@ -92,6 +92,36 @@ class TestOverfit:
         assert float(state.lr_scale) < 1.0
 
 
+class TestUint8FrameIngest:
+    def test_device_normalizer_matches_host(self):
+        """uint8 frames through the jitted steps must score identically to
+        host-normalized float frames (trainer.prepare_frames does the same
+        f32 math on device; training/loop.py ships uint8 to cut transfer)."""
+        from object_keypoints_tpu.constants import RGB_MEAN, RGB_STD
+
+        model = KeypointNet(heatmaps_out=3, stacks=1, dropout=0.0, **TINY)
+        batch = _synthetic_batch(jax.random.key(0))
+        u8 = np.random.default_rng(0).integers(
+            0, 256, size=(2, 32, 32, 3), dtype=np.uint8
+        )
+        batch_u8 = dict(batch, frame=jnp.asarray(u8))
+        batch_f32 = dict(
+            batch,
+            frame=jnp.asarray((u8.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD),
+        )
+        variables = model.init(
+            {"params": jax.random.key(1)}, batch_f32["frame"], train=False
+        )
+        state = create_train_state(model, variables, make_optimizer())
+        m_u8 = eval_step(model, state, batch_u8)
+        m_f32 = eval_step(model, state, batch_f32)
+        np.testing.assert_allclose(
+            float(m_u8["val_loss"]), float(m_f32["val_loss"]), rtol=1e-6
+        )
+        _, metrics = train_step(model, state, batch_u8, jax.random.key(2))
+        assert np.isfinite(float(metrics["loss"]))
+
+
 class TestShardedTraining:
     def test_data_parallel_matches_single_device(self):
         """One sharded step over the 8-device mesh must equal the
