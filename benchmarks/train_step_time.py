@@ -30,7 +30,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-BATCHES = [int(b) for b in os.environ.get("OKT_TRAIN_BATCHES", "4,8,16").split(",")]
+BATCHES = [int(b) for b in
+           os.environ.get("OKT_TRAIN_BATCHES", "4,8,16,32,64").split(",")]
 DTYPES = os.environ.get("OKT_TRAIN_DTYPES", "fp32,bf16").split(",")
 ITERS = int(os.environ.get("OKT_TRAIN_ITERS", "30"))
 WARMUP = 3
@@ -69,26 +70,27 @@ def bench_one(dtype_name: str, batch_size: int) -> dict:
     }
     key = jax.random.key(1)
 
+    # AOT-compile ONCE and time the compiled object directly: the jit-cache
+    # path would compile a second copy of the 24.95M-param program just to
+    # read cost_analysis() (AOT lowering does not populate the jit cache).
+    # The compiled step keeps trainer.py's state donation, so no extra copy
+    # of the train state stays alive during the timed loop.
+    compiled = train_step.lower(model, state, batch, key).compile()
     flops = float("nan")
     try:
-        # train_step is already jitted (with donation); .lower() compiles
-        # the exact program the timed calls below reuse from the jit cache
-        cost = train_step.lower(model, state, batch, key).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", float("nan")))
     except Exception:
         pass
 
-    # call train_step directly — it is already jitted WITH state donation
-    # (trainer.py donate_argnames); an outer undonated wrapper would measure
-    # a step that keeps two copies of the 24.95M-param state alive
     for _ in range(WARMUP):
-        state, metrics = train_step(model, state, batch, key)
+        state, metrics = compiled(state, batch, key)
         float(metrics["loss"])  # block per step (axon runtime requirement)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, metrics = train_step(model, state, batch, key)
+        state, metrics = compiled(state, batch, key)
         float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -111,7 +113,13 @@ def main():
     enable_compilation_cache()
     for dtype_name in DTYPES:
         for batch_size in BATCHES:
-            print(json.dumps(bench_one(dtype_name, batch_size)), flush=True)
+            # one config failing (e.g. batch-64 HBM OOM) must not eat the rest
+            try:
+                print(json.dumps(bench_one(dtype_name, batch_size)), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": "train_step_ms", "dtype": dtype_name,
+                                  "batch": batch_size, "error": repr(e)[:300]}),
+                      flush=True)
 
 
 if __name__ == "__main__":

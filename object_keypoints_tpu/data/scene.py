@@ -97,11 +97,14 @@ class SceneDataset:
         # epochs — the stochastic augment/target suffix still runs fresh
         # every epoch. ~0.8 MB per frame; on this 1-core host it turns a
         # ~2.4 frames/s decode-bound stream into a >40 frames/s one, which
-        # is what lets full-geometry training keep the TPU fed. Default on;
-        # override with OKT_CACHE_FRAMES=0 (e.g. video streams too long to
-        # hold in RAM).
+        # is what lets full-geometry training keep the TPU fed. Default OFF:
+        # single-pass consumers (eval, calibration) get zero reuse and every
+        # instance holds its whole sequence for its lifetime — only the
+        # multi-epoch training loop opts in (training/loop.py). Override
+        # either way with OKT_CACHE_FRAMES=0/1.
         if cache_frames is None:
-            cache_frames = os.environ.get("OKT_CACHE_FRAMES", "1") == "1"
+            env = os.environ.get("OKT_CACHE_FRAMES")
+            cache_frames = env == "1" if env in ("0", "1") else False
         self._cache: Optional[list] = [] if cache_frames else None
         # normalize=False emits the raw uint8 HWC frame (post-augment,
         # pre-normalization). The training loop uses this to ship 4x fewer

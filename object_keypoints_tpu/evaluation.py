@@ -198,10 +198,16 @@ def decoded_to_objects(decoded, frame_index: int, keypoint_config) -> List[dict]
 
 def evaluate_sequence_fast(sequence: Sequence, inference_fn, keypoint_config,
                            batch_size: int = 8,
-                           max_frames: Optional[int] = None) -> Results:
+                           max_frames: Optional[int] = None,
+                           ground_truth: bool = False) -> Results:
     """Batched single-program eval: frames -> model -> decode_objects_batch
     -> Results. The TPU-native fast path (the per-frame reference path in
-    :func:`evaluate_sequence` exists for exact API parity)."""
+    :func:`evaluate_sequence` exists for exact API parity).
+
+    ``ground_truth=True`` skips the model (``inference_fn`` may be None) and
+    batches the dataset's rendered GT maps straight into the decode program —
+    the batched analog of ``evaluate_sequence(..., ground_truth=True)``
+    (reference eval_model.py:274-329 --ground-truth mode)."""
     import jax.numpy as jnp
 
     from object_keypoints_tpu.pipeline.decode_jit import (
@@ -222,16 +228,29 @@ def evaluate_sequence_fast(sequence: Sequence, inference_fn, keypoint_config,
     for i, example in enumerate(sequence.dataset):
         if max_frames is not None and i >= max_frames:
             break
-        frames.append(example["frame"])
+        if ground_truth:
+            # reference layout: maps (K,H,W), offsets (T,2,H,W)
+            frames.append((
+                np.transpose(example["heatmaps"], (2, 0, 1)),
+                np.transpose(example["depth"], (2, 0, 1)),
+                np.transpose(example["centers"], (2, 3, 0, 1)),
+            ))
+        else:
+            frames.append(example["frame"])
         poses.append(example["T_WC"])
 
     for start in range(0, len(frames), batch_size):
         chunk = frames[start : start + batch_size]
         # keep the jit shape stable: pad the tail chunk up to batch_size
         pad = batch_size - len(chunk)
-        batch = np.stack(chunk + [chunk[-1]] * pad)
-        nchw = np.transpose(batch, (0, 3, 1, 2))
-        heat, depth, centers = inference_fn(jnp.asarray(nchw))
+        padded = chunk + [chunk[-1]] * pad
+        if ground_truth:
+            heat = np.stack([c[0] for c in padded])
+            depth = np.stack([c[1] for c in padded])
+            centers = np.stack([c[2] for c in padded])
+        else:
+            nchw = np.transpose(np.stack(padded), (0, 3, 1, 2))
+            heat, depth, centers = inference_fn(jnp.asarray(nchw))
         decoded = decode_objects_batch(
             jnp.asarray(heat), jnp.asarray(depth), jnp.asarray(centers),
             camera, config, model=cam.distortion_model, max_peaks=16,

@@ -56,6 +56,9 @@ class TrainConfig:
     out_dir: str = "runs/keypoints"
     resume: Optional[str] = None
     log_every: int = 10
+    # also write a TensorBoard event file next to metrics.jsonl (the
+    # reference's Lightning TensorBoard logger, scripts/train.py:67-91)
+    tensorboard: bool = False
     ckpt_every: int = 1  # checkpoint every N epochs (orbax IO is ~30 s/save here)
     # plateau schedule: the reference steps ReduceLROnPlateau once per EPOCH
     # on the epoch-mean train loss (scripts/train.py:95-104). The optax
@@ -134,12 +137,16 @@ def train(config: TrainConfig) -> dict:
     # normalize=False: frames cross host->device as uint8 (4x less traffic
     # — the dominant wall-step cost on a tunneled chip); the jitted steps
     # normalize on device (trainer.prepare_frames, numerically identical)
+    # The training loop is the one multi-epoch consumer, so it opts into the
+    # decoded-frame prefix cache (the SceneDataset default is off);
+    # OKT_CACHE_FRAMES=0 disables it for sequences too long to hold in RAM.
+    cache_frames = os.environ.get("OKT_CACHE_FRAMES", "1") == "1"
     train_sets = _build_sequences(config.train, config.keypoint_config,
                                   seed=data_seed, augment=True,
-                                  normalize=False)
+                                  normalize=False, cache_frames=cache_frames)
     val_sets = _build_sequences(config.val, config.keypoint_config,
                                 augment=False, include_pose=True,
-                                normalize=False)
+                                normalize=False, cache_frames=cache_frames)
 
     rng = jax.random.key(config.seed)
     init_rng, dropout_rng = jax.random.split(rng)
@@ -180,7 +187,8 @@ def train(config: TrainConfig) -> dict:
 
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
 
-    logger = MetricsLogger(config.out_dir) if is_main else None
+    logger = (MetricsLogger(config.out_dir, tensorboard=config.tensorboard)
+              if is_main else None)
     step = int(state.step)
 
     def _train_batches():

@@ -94,13 +94,15 @@ def main():
     frame_number = 0
     for seq_path in sequences:
         sequence = Sequence(seq_path, keypoint_config)
-        if flags.fast and not flags.ground_truth:
+        if flags.fast:
             from object_keypoints_tpu.evaluation import evaluate_sequence_fast
             from object_keypoints_tpu.serving.export import load_inference_fn
 
             seq_results = evaluate_sequence_fast(
-                sequence, load_inference_fn(flags.model), keypoint_config,
-                batch_size=flags.batch, max_frames=flags.max_frames,
+                sequence,
+                None if flags.ground_truth else load_inference_fn(flags.model),
+                keypoint_config, batch_size=flags.batch,
+                max_frames=flags.max_frames, ground_truth=flags.ground_truth,
             )
             results.gt_keypoints.extend(seq_results.gt_keypoints)
             results.predicted_keypoints.extend(seq_results.predicted_keypoints)

@@ -38,6 +38,9 @@ def read_args():
     parser.add_argument("--epochs", default=10, type=int)
     parser.add_argument("--out", default="runs/keypoints", help="Output/checkpoint directory.")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="Also write a TensorBoard event file under --out "
+                        "(the reference's Lightning logger behavior).")
     parser.add_argument("--ckpt-every", default=1, type=int,
                         help="Write the on-disk checkpoint every N epochs (best "
                         "tracking still happens every epoch; orbax IO is ~30s "
@@ -80,6 +83,7 @@ def main():
         out_dir=flags.out,
         resume=flags.resume,
         ckpt_every=flags.ckpt_every,
+        tensorboard=flags.tensorboard,
     )
     result = train(config)
     print(json.dumps(result, indent=2))

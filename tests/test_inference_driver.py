@@ -122,3 +122,68 @@ class TestDriver:
         # inside the original bounds with the right score
         assert out[1][0, 4] == pytest.approx(0.9, rel=1e-3)
         assert (out[1][0, :4] >= 0).all() and (out[1][0, :4] <= 100).all()
+
+    def test_merge_and_cap_paths(self):
+        """Exercise merge_bbox=True and a triggering max_per_image cap (the
+        two deliberate-divergence paths recorded in PARITY.md "Known gaps"):
+        the planted decoder emits one tight cluster of overlapping boxes per
+        class plus one isolated box, so soft-NMS-merge decays the cluster
+        tails to dead rows and the cap threshold runs over live scores only
+        (ours drops dead rows BEFORE the kth computation; the Cython keeps
+        stale compacted rows in it)."""
+        config = DetectionConfig({
+            "categories": 2, "input_size": [128, 128], "output_sizes": [[32, 32]],
+            "test_scales": [1], "test_flipped": False, "top_k": 8,
+            "num_dets": 8, "nms_algorithm": "exp_soft_nms", "max_per_image": 3,
+            "merge_bbox": True, "weight_exp": 6.0,
+        })
+
+        def decode_fn(images, K, ae_threshold, kernel, num_dets):
+            n = images.shape[0]
+            dets = np.full((n, num_dets, 8), -1.0, np.float32)
+            # class 0: 3-box cluster (near-identical, decaying scores) +
+            # one isolated box far away
+            dets[:, 0] = [4.0, 4.0, 12.0, 12.0, 0.90, 0.8, 0.8, 0.0]
+            dets[:, 1] = [4.5, 4.5, 12.5, 12.5, 0.80, 0.7, 0.7, 0.0]
+            dets[:, 2] = [5.0, 5.0, 13.0, 13.0, 0.70, 0.6, 0.6, 0.0]
+            dets[:, 3] = [20.0, 20.0, 28.0, 28.0, 0.60, 0.9, 0.9, 0.0]
+            # class 1: two isolated boxes
+            dets[:, 4] = [4.0, 20.0, 12.0, 28.0, 0.50, 0.5, 0.5, 1.0]
+            dets[:, 5] = [20.0, 4.0, 28.0, 12.0, 0.40, 0.5, 0.5, 1.0]
+            return jnp.asarray(dets)
+
+        image = np.zeros((100, 100, 3), np.uint8)
+        out = cornernet_inference(config, decode_fn, image)
+
+        # gaussian decay with near-unit IoU kills the two cluster tails
+        # (0.8*e^{-1/0.5} ~ 0.1 > 0.001 stays live actually — compute: IoU of
+        # the planted cluster ~0.88, weight = exp(-0.88^2/0.5) = 0.21;
+        # 0.8*0.21 = 0.17 live, 0.7*0.21*... second round vs merged box) —
+        # either way scores strictly order: cluster peak > isolated(0.6) >
+        # decayed tails and class-1 rows. Cap keeps the global top-3 scores.
+        scores = np.sort(np.concatenate([out[1][:, 4], out[2][:, 4]]))[::-1]
+        assert len(scores) <= 3 + 1  # ties at the kth threshold may all pass
+        assert scores[0] == pytest.approx(0.90, rel=1e-2)
+
+        # merge mode moved the cluster peak toward its neighbors: the output
+        # box is a corner-score-weighted average, strictly between the
+        # cluster's extremes and not equal to the raw argmax box
+        peak = out[1][np.argmax(out[1][:, 4])]
+        lo, hi = 4.0, 5.0  # planted x1 range of the cluster
+        x1_img = peak[0]
+        # map the planted output-space box through the same rescale the
+        # driver applied to recover output-space coords is fiddly; instead
+        # assert the merge moved the peak box AWAY from where the pure
+        # (no-merge) driver puts it
+        config_nomerge = DetectionConfig({
+            "categories": 2, "input_size": [128, 128], "output_sizes": [[32, 32]],
+            "test_scales": [1], "test_flipped": False, "top_k": 8,
+            "num_dets": 8, "nms_algorithm": "exp_soft_nms", "max_per_image": 3,
+            "merge_bbox": False,
+        })
+        out_nomerge = cornernet_inference(config_nomerge, decode_fn, image)
+        peak_nomerge = out_nomerge[1][np.argmax(out_nomerge[1][:, 4])]
+        assert peak[4] == pytest.approx(peak_nomerge[4], rel=1e-5)  # same score
+        assert np.abs(peak[:4] - peak_nomerge[:4]).max() > 0.1  # merged coords moved
+        # and the merge pulled the peak toward the (larger-coordinate) tails
+        assert (peak[:4] > peak_nomerge[:4] - 1e-4).all()
