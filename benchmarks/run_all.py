@@ -353,6 +353,74 @@ def bench_saccade(iters):
             "boxes_out": n_boxes}
 
 
+def bench_saccade_trained(iters, snapshot="results/saccade_tiny/CornerNet_Saccade_800"):
+    """Config 7b: the saccade two-stage drive with TRAINED weights — the
+    tiny lifecycle detector (scripts/train_detector.py CornerNet_Saccade
+    --tiny on the synthetic COCO rectangles, snapshot tracked in
+    results/saccade_tiny) so the stage-2 zoom/decode/soft-NMS tail runs on
+    a REAL detection population (boxes_out > 0), unlike the full-size
+    random-weight row. Scene: rectangles from the training distribution on
+    a 192x256 canvas, so stage-1 views (48/64 px) see them at ~1/4 scale
+    and the attention zoom is what makes them detectable — the saccade
+    premise."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from object_keypoints_tpu.inference.saccade import (
+        cornernet_saccade_inference,
+        make_saccade_decode_fn,
+    )
+    from object_keypoints_tpu.models.cornernet import tiny_cornernet
+    from object_keypoints_tpu.utils.config import (
+        DetectionConfig, load_cfg, tiny_db_overrides,
+    )
+
+    snap = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", snapshot))
+    if not os.path.isdir(snap):
+        return {"metric": "saccade_two_stage_trained", "skipped": True,
+                "reason": f"no snapshot at {snapshot}"}
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "object_keypoints_tpu", "configs",
+        "CornerNet_Saccade.json",
+    )
+    _, db_cfg = load_cfg(cfg_path)
+    config = DetectionConfig(dict(db_cfg, **tiny_db_overrides("CornerNet_Saccade")))
+    model = tiny_cornernet("CornerNet_Saccade", categories=config["categories"])
+    restored = ocp.PyTreeCheckpointer().restore(snap)
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+    decode_fn = make_saccade_decode_fn(model, variables, config)
+
+    # scene from the training distribution (synthetic.make_synthetic_coco_
+    # dataset): dark noisy background, warm/cool filled rectangles — at
+    # 4x the training canvas so stage 1 must zoom
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 40, size=(192, 256, 3)).astype(np.uint8)
+    for (y, x, bh, bw, warm) in ((40, 60, 24, 30, True), (120, 180, 28, 22, False),
+                                 (60, 200, 18, 26, True)):
+        color = ((int(rng.integers(180, 255)), int(rng.integers(0, 80)),
+                  int(rng.integers(0, 80))) if warm else
+                 (int(rng.integers(0, 80)), int(rng.integers(0, 80)),
+                  int(rng.integers(180, 255))))
+        image[y:y + bh, x:x + bw] = color
+
+    run = lambda: cornernet_saccade_inference(config, decode_fn, image)
+    boxes = run()  # warm the compiles
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    n_boxes = int(sum(len(v) for v in boxes.values()))
+    best = max((float(v[:, 4].max()) for v in boxes.values() if len(v)),
+               default=0.0)
+    return {"metric": "saccade_two_stage_trained", "value": round(1.0 / dt, 2),
+            "unit": "images/s (192x256, trained tiny saccade, device crops)",
+            "boxes_out": n_boxes, "best_score": round(best, 3)}
+
+
 def bench_video_eval(quick):
     """Config 5: full eval path over an encoded synthetic sequence."""
     from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
@@ -367,16 +435,27 @@ def bench_video_eval(quick):
         config = {"keypoint_config": [1, 3]}
         sequence = Sequence(str(seq_dir), config)
         pipeline = ObjectKeypointPipeline((64, 64), sequence.keypoints, config)
-        # first pass warms the jit caches (the axon tunnel compiles each
-        # small kernel on first use); the steady-state pass is the metric
-        evaluate_sequence(sequence, pipeline, ground_truth=True)
+        # the per-frame host-ragged reference path: run once as the accuracy
+        # cross-check (its mean_err must match the batched path's)
+        slow_summary = evaluate_sequence(
+            sequence, pipeline, ground_truth=True
+        ).summary()
+        # batched single-program GT decode (evaluation.evaluate_sequence_fast
+        # ground_truth=True) — first pass warms the jit cache, the
+        # steady-state pass is the metric
+        from object_keypoints_tpu.evaluation import evaluate_sequence_fast
+
+        evaluate_sequence_fast(sequence, None, config, ground_truth=True)
         t0 = time.perf_counter()
-        results = evaluate_sequence(sequence, pipeline, ground_truth=True)
+        results = evaluate_sequence_fast(sequence, None, config,
+                                         ground_truth=True)
         dt = time.perf_counter() - t0
         summary = results.summary()
     return {"metric": "video_sequence_eval", "value": round(n_frames / dt, 2),
-            "unit": "frames/s (dataset decode + GT pipeline + matching)",
-            "mean_err_cm": round(summary.get("mean_cm", float("nan")), 3)}
+            "unit": "frames/s (dataset decode + batched GT decode + matching)",
+            "mean_err_cm": round(summary.get("mean_cm", float("nan")), 3),
+            "mean_err_cm_perframe_path": round(
+                slow_summary.get("mean_cm", float("nan")), 3)}
 
 
 def main():
@@ -399,8 +478,18 @@ def main():
         ("video_eval", lambda: bench_video_eval(flags.quick)),
         ("stereo_e2e", lambda: bench_stereo_e2e(iters, pairs=4 if flags.quick else 16)),
         ("saccade", lambda: bench_saccade(2 if flags.quick else 10)),
+        ("saccade_trained",
+         lambda: bench_saccade_trained(2 if flags.quick else 10)),
     )
     only = set(flags.only.split(",")) if flags.only else None
+    if only is not None:
+        known = {name for name, _ in configs}
+        unknown = only - known
+        if unknown:
+            raise SystemExit(
+                f"--only: unknown config name(s) {sorted(unknown)}; "
+                f"valid names: {sorted(known)}"
+            )
     failed = False
     for name, fn in configs:
         if only is not None and name not in only:

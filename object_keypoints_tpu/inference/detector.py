@@ -135,24 +135,34 @@ def cornernet_inference(config, decode_fn: Callable, image: np.ndarray) -> Dict[
     detections = detections[keep]
     classes = classes[keep]
 
+    # Per-class soft-NMS as ONE device program (the reference loops the
+    # Cython per class, core/test/cornernet.py:160-176 — one dispatch
+    # round-trip per class on a tunneled chip). Classes pad to a shared
+    # power-of-two bucket so the compiled shape is stable across images.
+    per_class = [detections[classes == j][:, 0:7].astype(np.float32)
+                 for j in range(categories)]
+    n_max = max((len(d) for d in per_class), default=0)
     top_bboxes: Dict[int, np.ndarray] = {}
-    for j in range(categories):
-        cls_dets = detections[classes == j][:, 0:7].astype(np.float32)
-        if len(cls_dets):
-            if merge_bbox:
-                out = np.asarray(
-                    nms_ops.soft_nms_merge(
-                        jnp.asarray(cls_dets), Nt=nms_threshold,
-                        method=method, weight_exp=weight_exp,
-                    )
-                )
-            else:
-                out = np.asarray(
-                    nms_ops.soft_nms(jnp.asarray(cls_dets[:, :5]),
-                                     Nt=nms_threshold, method=method)
-                )
-            cls_dets = out[out[:, 4] > 0]
-        top_bboxes[j + 1] = cls_dets[:, 0:5] if len(cls_dets) else np.zeros((0, 5), np.float32)
+    if n_max:
+        n_pad = 1 << max(4, (n_max - 1).bit_length())
+        if merge_bbox:
+            padded = nms_ops.pad_class_dets(per_class, n_pad, width=7)
+            out = np.asarray(nms_ops.soft_nms_merge_batch(
+                jnp.asarray(padded), Nt=nms_threshold, method=method,
+                weight_exp=weight_exp))
+        else:
+            padded = nms_ops.pad_class_dets(
+                [d[:, :5] for d in per_class], n_pad)
+            out = np.asarray(nms_ops.soft_nms_batch(
+                jnp.asarray(padded), Nt=nms_threshold, method=method))
+        for j in range(categories):
+            cls = out[j, : len(per_class[j])]
+            cls = cls[cls[:, 4] > 0]
+            top_bboxes[j + 1] = (cls[:, 0:5] if len(cls)
+                                 else np.zeros((0, 5), np.float32))
+    else:
+        for j in range(categories):
+            top_bboxes[j + 1] = np.zeros((0, 5), np.float32)
 
     scores = np.hstack([top_bboxes[j][:, -1] for j in range(1, categories + 1)])
     if len(scores) > max_per_image:

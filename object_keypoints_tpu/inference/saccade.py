@@ -288,8 +288,17 @@ def make_saccade_decode_fn(model, variables, config):
     tuple; ``no_att`` (the final iteration, which never decodes attention)
     only drops the attention maps from the return so the host skips their
     transfer — mirroring the reference's no_att flag
-    (cornernet_saccade.py:249-263)."""
+    (cornernet_saccade.py:249-263).
+
+    The attention max-pool NMS (cornernet_saccade.py:49-55) is FUSED into
+    this program (one maxpool per att scale) so the driver skips three
+    separate dispatch round-trips per iteration; the returned callable
+    advertises it with ``att_nms_fused = True`` and
+    :func:`cornernet_saccade_inference` then consumes the maps as
+    already-suppressed."""
     import jax
+
+    att_nms_ks = tuple(config["att_nms_ks"])
 
     # variables are a jit ARGUMENT, not a closure constant: closed-over
     # weights get serialized into the program shipped to the compiler,
@@ -304,9 +313,20 @@ def make_saccade_decode_fn(model, variables, config):
             kernel=config["nms_kernel"], num_dets=config["num_dets"],
             no_border=True,
         )
-        return dets, (None if no_att else atts)
+        if no_att:
+            return dets, None
+        atts = [
+            jnp.transpose(
+                maxpool_nms(jnp.transpose(att, (0, 3, 1, 2)), size=k),
+                (0, 2, 3, 1),
+            )
+            for att, k in zip(atts, att_nms_ks)
+        ]
+        return dets, atts
 
-    return functools.partial(_decode, variables)
+    fn = functools.partial(_decode, variables)
+    fn.att_nms_fused = True
+    return fn
 
 
 def cornernet_saccade_inference(config, decode_fn, image,
@@ -339,11 +359,13 @@ def cornernet_saccade_inference(config, decode_fn, image,
         [[height // 2, width // 2, s / max(height, width)] for s in init_sizes],
         np.float32,
     )
+    att_fused = getattr(decode_fn, "att_nms_fused", False)
     images, offsets = _prepare_images(config, norm, locations,
                                       device_crops=device_crops)
     dets, atts = decode_fn(jnp.asarray(images), False)
     dets = np.array(dets, copy=True)
-    atts = att_nms(atts, att_nms_ks)
+    atts = ([np.asarray(a) for a in atts] if att_fused
+            else att_nms(atts, att_nms_ks))
 
     scales = locations[:, 2]
     next_locations = decode_atts(
@@ -378,7 +400,8 @@ def cornernet_saccade_inference(config, decode_fn, image,
 
         if num_crops >= att_max_crops or ind >= num_iterations:
             break
-        atts = att_nms(atts, att_nms_ks)
+        atts = ([np.asarray(a) for a in atts] if att_fused
+                else att_nms(atts, att_nms_ks))
         next_locations = decode_atts(
             config, atts, att_scales[ind], locations[:, 2], offsets,
             height, width, att_thresholds[ind], ignore_same=True,
@@ -390,16 +413,26 @@ def cornernet_saccade_inference(config, decode_fn, image,
 
     detections = np.concatenate(all_dets, axis=0)
     classes = detections[:, -1]
+    # Per-class soft-NMS as ONE device program (the reference loops the
+    # Cython per class, cornernet_saccade.py:383-391 — one tunnel dispatch
+    # per class here would dominate the whole drive). Pad every class to a
+    # power-of-two bucket so the compiled shape is stable across images.
+    per_class = [detections[classes == j][:, 0:5].astype(np.float32)
+                 for j in range(categories)]
+    n_max = max((len(d) for d in per_class), default=0)
     top_bboxes = {}
-    for j in range(categories):
-        cls_dets = detections[classes == j][:, 0:5].astype(np.float32)
-        if len(cls_dets):
-            out = np.asarray(
-                nms_ops.soft_nms(jnp.asarray(cls_dets), Nt=nms_threshold,
-                                 method=method, sigma=0.7)
-            )
-            cls_dets = out[out[:, 4] > 0]
-        top_bboxes[j + 1] = cls_dets if len(cls_dets) else np.zeros((0, 5), np.float32)
+    if n_max:
+        n_pad = 1 << max(4, (n_max - 1).bit_length())
+        padded = nms_ops.pad_class_dets(per_class, n_pad)
+        out = np.asarray(nms_ops.soft_nms_batch(
+            jnp.asarray(padded), Nt=nms_threshold, method=method, sigma=0.7))
+        for j in range(categories):
+            cls = out[j, : len(per_class[j])]
+            cls = cls[cls[:, 4] > 0]
+            top_bboxes[j + 1] = cls if len(cls) else np.zeros((0, 5), np.float32)
+    else:
+        for j in range(categories):
+            top_bboxes[j + 1] = np.zeros((0, 5), np.float32)
 
     scores = np.hstack([top_bboxes[j][:, -1] for j in range(1, categories + 1)])
     if len(scores) > max_per_image:

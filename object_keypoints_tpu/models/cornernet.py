@@ -221,3 +221,23 @@ def cornernet_saccade(categories: int = 80, dtype=jnp.float32) -> CornerNetModel
         hourglass="residual", stem_residuals=1,
         with_attention=True, att_dims=(384, 384, 256), dtype=dtype,
     )
+
+
+def tiny_cornernet(arch: str, categories: int = 80,
+                   dtype=jnp.float32) -> CornerNetModel:
+    """The shared --tiny model for train_detector.py / evaluate_detector.py
+    / benchmarks (pairs with utils.config.tiny_db_overrides): one stack,
+    two hourglass levels, /4 stem — the 64->16 contract the accuracy gates
+    train in minutes on this 1-core host.
+
+    CornerNet_Saccade needs the RESIDUAL hourglass (the fire variant has no
+    per-level merge outputs to hang attention heads on — models/
+    CornerNet_Saccade.py's att modules consume them) and its two levels
+    yield two attention maps, at /8 and /4 of the input (8x8 and 16x16
+    here), matching tiny_db_overrides' att_sizes."""
+    saccade = arch.split("-")[0] == "CornerNet_Saccade"
+    return CornerNetModel(
+        categories=categories, stacks=1, levels=2, dims=(8, 8, 16),
+        mods=(1, 1, 1), hourglass="residual" if saccade else "fire",
+        stem_residuals=1, cnv_dim=8, with_attention=saccade, dtype=dtype,
+    )

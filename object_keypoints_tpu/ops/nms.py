@@ -95,6 +95,60 @@ def soft_nms(dets, sigma: float = 0.5, Nt: float = 0.3, threshold: float = 0.001
     return dets.at[:, 4].set(scores)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "Nt", "threshold",
+                                             "method"))
+def soft_nms_batch(dets, sigma: float = 0.5, Nt: float = 0.3,
+                   threshold: float = 0.001, method: int = 0):
+    """Per-class soft-NMS as ONE device program: vmap of :func:`soft_nms`
+    over a (C, N, 5) class-padded stack.
+
+    The reference's test drives loop soft-NMS per category on the host
+    (core/test/cornernet_saccade.py:383-391 runs the Cython once per class)
+    — on a tunneled accelerator that is one dispatch round-trip per class
+    (80 for COCO). Here the caller pads each class's detections to a common
+    N (pad rows: far-away box, score 0 — IoU 0 with everything, decayed to
+    nothing) and all classes run in a single fused dispatch.
+    """
+    return jax.vmap(
+        lambda d: soft_nms(d, sigma=sigma, Nt=Nt, threshold=threshold,
+                           method=method)
+    )(jnp.asarray(dets, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "Nt", "threshold",
+                                             "method", "weight_exp"))
+def soft_nms_merge_batch(dets, sigma: float = 0.5, Nt: float = 0.3,
+                         threshold: float = 0.001, method: int = 2,
+                         weight_exp: float = 6.0):
+    """vmap of :func:`soft_nms_merge` over a (C, N, 7) class-padded stack —
+    the merge-mode analog of :func:`soft_nms_batch` (one dispatch for all
+    classes instead of the reference's per-class Cython loop,
+    core/test/cornernet.py:160-176)."""
+    return jax.vmap(
+        lambda d: soft_nms_merge(d, sigma=sigma, Nt=Nt, threshold=threshold,
+                                 method=method, weight_exp=weight_exp)
+    )(jnp.asarray(dets, jnp.float32))
+
+
+# Pad value for the *_batch filler rows: a unit box far outside any image
+# so bbox_overlaps' +1 extents give it IoU 0 with every real box; score 0
+# means every real (positive-score) box is processed before any filler.
+PAD_BOX = (-1e6, -1e6, -1e6, -1e6, 0.0)
+
+
+def pad_class_dets(per_class, n_pad: int, width: int = 5):
+    """Stack ragged per-class (n_j, width) arrays into (C, n_pad, width)
+    with PAD_BOX filler (host-side helper for the *_batch programs);
+    columns beyond 5 (corner scores) pad as 0."""
+    import numpy as np
+
+    out = np.zeros((len(per_class), n_pad, width), np.float32)
+    out[:, :, :5] = np.asarray(PAD_BOX, np.float32)
+    for j, d in enumerate(per_class):
+        out[j, : len(d)] = d
+    return out
+
+
 def soft_nms_merge(dets, sigma: float = 0.5, Nt: float = 0.3,
                    threshold: float = 0.001, method: int = 2,
                    weight_exp: float = 6.0):
@@ -143,8 +197,12 @@ def soft_nms_merge(dets, sigma: float = 0.5, Nt: float = 0.3,
         # decay (no intersection) -> zero weight, exactly the skipped Cython
         # loop body. The selected box contributes itself with weight 1.
         mw = jnp.where(alive, (1.0 - weight) ** weight_exp, 0.0).at[i].set(1.0)
-        mts = jnp.sum(tl_score * mw)
-        mbs = jnp.sum(br_score * mw)
+        # Guard the divide: a selected box with corner score 0 (7-col path)
+        # makes mts/mbs exactly 0 — the Cython divides by the same zero, but
+        # its NaN stays in one output row, whereas in this fori_loop it would
+        # poison every later IoU. Clamp keeps that row finite (tl/br -> 0).
+        mts = jnp.maximum(jnp.sum(tl_score * mw), 1e-12)
+        mbs = jnp.maximum(jnp.sum(br_score * mw), 1e-12)
         merged_tl = jnp.sum(boxes[:, 0:2] * (tl_score * mw)[:, None], axis=0) / mts
         merged_br = jnp.sum(boxes[:, 2:4] * (br_score * mw)[:, None], axis=0) / mbs
         boxes = jnp.where(

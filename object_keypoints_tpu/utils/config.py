@@ -154,3 +154,34 @@ def load_cfg(path: str):
     with open(path, "rt") as f:
         cfg = json.load(f)
     return cfg.get("system", {}), cfg.get("db", {})
+
+
+def tiny_db_overrides(arch: str) -> dict:
+    """The shared --tiny db-config overrides for train_detector.py /
+    evaluate_detector.py / benchmarks (64x64 input, /4 stem, levels=2
+    model). Not a reference feature — the full 511/255-input models take
+    minutes per compile on this host, so accuracy gates run this shrunken
+    contract instead.
+
+    For CornerNet_Saccade the attention geometry must match the tiny
+    model's TWO upsample levels (models/hourglass.py collect_ups returns
+    one merge output per level): maps at 8x8 and 16x16 for a 64px input
+    (ratios 8 and 4), object-size bands split at 16px, zoom scales [1, 2]
+    per iteration, and stage-1 init views at 48/64px.
+    """
+    tiny = {
+        "input_size": [64, 64], "output_sizes": [[16, 16]],
+        "test_scales": [1], "top_k": 8, "num_dets": 8, "max_per_image": 10,
+        "rand_crop": False, "rand_color": False, "lighting": False,
+    }
+    if arch.split("-")[0] == "CornerNet_Saccade":
+        tiny.update(
+            att_sizes=[[8, 8], [16, 16]],
+            att_ranges=[[16, 64], [0, 16]],
+            att_ratios=[8, 4],
+            att_scales=[[1, 2], [1, 2]],
+            att_thresholds=[0.3, 0.3],
+            att_nms_ks=[3, 3],
+            init_sizes=[48, 64],
+        )
+    return tiny

@@ -92,12 +92,9 @@ def main():
     system_config = SystemConfig(
         **{"snapshot_name": flags.cfg_file}).update_config(sys_cfg_json)
     if flags.tiny:
-        db_cfg = dict(
-            db_cfg,
-            input_size=[64, 64], output_sizes=[[16, 16]],
-            test_scales=[1], top_k=8, num_dets=8, max_per_image=10,
-            att_sizes=[[8, 8], [16, 16], [32, 32]],
-        )
+        from object_keypoints_tpu.utils.config import tiny_db_overrides
+
+        db_cfg = dict(db_cfg, **tiny_db_overrides(flags.cfg_file))
     config = DetectionConfig(db_cfg)
 
     # result dir layout parity: <result_dir>/<testiter>/<split>[/<suffix>]
@@ -112,14 +109,9 @@ def main():
     categories = config["categories"]
 
     if flags.tiny:
-        from object_keypoints_tpu.models.cornernet import CornerNetModel
+        from object_keypoints_tpu.models.cornernet import tiny_cornernet
 
-        # stem_residuals=1 -> /4 downsample, matching the tiny 64->16 contract
-        model = CornerNetModel(
-            categories=categories, stacks=1, levels=2, dims=(8, 8, 16),
-            mods=(1, 1, 1), hourglass="fire", stem_residuals=1, cnv_dim=8,
-            with_attention=flags.cfg_file == "CornerNet_Saccade",
-        )
+        model = tiny_cornernet(flags.cfg_file, categories=categories)
     else:
         factory = {"CornerNet": cornernet, "CornerNet_Squeeze": cornernet_squeeze,
                    "CornerNet_Saccade": cornernet_saccade}[flags.cfg_file]

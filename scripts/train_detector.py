@@ -155,13 +155,9 @@ def main():
     )
     sys_cfg_json, db_cfg_json = load_cfg(cfg_path)
     if flags.tiny:
-        db_cfg_json = dict(
-            db_cfg_json,
-            input_size=[64, 64], output_sizes=[[16, 16]],
-            top_k=8, num_dets=8, max_per_image=10,
-            rand_crop=False, rand_color=False, lighting=False,
-            att_sizes=[[8, 8], [16, 16], [32, 32]],
-        )
+        from object_keypoints_tpu.utils.config import tiny_db_overrides
+
+        db_cfg_json = dict(db_cfg_json, **tiny_db_overrides(flags.cfg_file))
     system_config = SystemConfig(**{"snapshot_name": flags.cfg_file}).update_config(sys_cfg_json)
     if flags.max_iter is not None:
         system_config.update_config({"max_iter": flags.max_iter})
@@ -175,16 +171,10 @@ def main():
     dataset = CocoDetectionDataset(flags.annotations, flags.images)
 
     if flags.tiny:
-        from object_keypoints_tpu.models.cornernet import CornerNetModel
+        from object_keypoints_tpu.models.cornernet import tiny_cornernet
 
-        arch = flags.cfg_file.split("-")[0]
-        # stem_residuals=1 -> /4 downsample, matching the tiny 64->16 contract
-        model = CornerNetModel(
-            categories=db_config["categories"], stacks=1, levels=2,
-            dims=(8, 8, 16), mods=(1, 1, 1), hourglass="fire",
-            stem_residuals=1, cnv_dim=8,
-            with_attention=arch == "CornerNet_Saccade",
-        )
+        model = tiny_cornernet(flags.cfg_file,
+                               categories=db_config["categories"])
     else:
         factory = {
             "CornerNet": cornernet,

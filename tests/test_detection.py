@@ -105,6 +105,35 @@ class TestNMS:
         assert 0.0 < out[0, 0] < 2.0
         assert out[0, 2] > 10.0
 
+    def test_soft_nms_batch_matches_per_class_calls(self):
+        """The single-dispatch class-batched program (what the inference
+        drivers use) must equal per-class soft_nms calls, with PAD_BOX
+        filler rows inert."""
+        per_class = [self._dets(n, seed=s) for n, s in ((24, 1), (7, 2), (0, 3))]
+        padded = nms_ops.pad_class_dets(per_class, 32)
+        out = np.asarray(nms_ops.soft_nms_batch(jnp.asarray(padded), method=2))
+        for j, d in enumerate(per_class):
+            ref = np.asarray(nms_ops.soft_nms(jnp.asarray(d), method=2)) \
+                if len(d) else np.zeros((0, 5), np.float32)
+            np.testing.assert_allclose(out[j, : len(d)], ref, rtol=1e-6, atol=1e-6)
+            # filler rows never gain score
+            assert (out[j, len(d):, 4] == 0).all()
+
+    def test_soft_nms_merge_batch_matches_per_class_calls(self):
+        rng = np.random.default_rng(7)
+        per_class = []
+        for n in (12, 5):
+            d5 = self._dets(n, seed=n)
+            corners = rng.uniform(0.1, 1.0, size=(n, 2)).astype(np.float32)
+            per_class.append(np.concatenate([d5, corners], axis=1))
+        padded = nms_ops.pad_class_dets(per_class, 16, width=7)
+        out = np.asarray(nms_ops.soft_nms_merge_batch(jnp.asarray(padded),
+                                                      method=2))
+        for j, d in enumerate(per_class):
+            ref = np.asarray(nms_ops.soft_nms_merge(jnp.asarray(d), method=2))
+            np.testing.assert_allclose(out[j, : len(d)], ref, rtol=1e-5,
+                                       atol=1e-5)
+
 
 class TestDecode:
     def test_topk_corners_layout(self):
