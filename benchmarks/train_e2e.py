@@ -49,6 +49,10 @@ def main():
     p.add_argument("--pool", type=int, default=100)
     p.add_argument("--data", default=None,
                    help="existing dataset root (default: generate synthetic)")
+    p.add_argument("--device-data", action="store_true",
+                   help="Device-resident store path (training/device_data): "
+                   "stage frames in HBM once, augment+render in the jitted "
+                   "step, ship only indices per step.")
     args = p.parse_args()
 
     from object_keypoints_tpu.utils.cache import enable_compilation_cache
@@ -95,17 +99,41 @@ def main():
     print(json.dumps({"config": {
         "batch": args.batch, "features": args.features,
         "bf16": args.bf16, "frames": total_frames, "seqs": args.seqs,
+        "device_data": args.device_data,
         "platform": jax.devices()[0].platform,
     }}), flush=True)
 
+    store = None
+    if args.device_data:
+        from object_keypoints_tpu.training.device_data import (
+            build_device_store, train_step_device_data,
+        )
+
+        t0 = time.perf_counter()
+        store = build_device_store(train_sets)
+        jax.block_until_ready(store.frames)
+        print(json.dumps({"store_build_s": round(time.perf_counter() - t0, 1),
+                          "store_mb": round(store.frames.nbytes / 1e6, 1)}),
+              flush=True)
+        target_config = tuple(train_sets[0].keypoint_config)
+        perm_rng = np.random.default_rng(1)
+
     summary = []
     for epoch in range(args.epochs):
-        def batches():
-            chain = Chain(train_sets, shuffle=True, seed=1)
-            pooled = SamplingPool(chain, args.pool, seed=1)
-            yield from batched(pooled, args.batch)
+        if store is not None:
+            order = perm_rng.permutation(store.n_frames)
+            def batches():
+                import jax.numpy as _jnp
 
-        it = device_prefetch(batches())
+                for s0 in range(0, store.n_frames - args.batch + 1, args.batch):
+                    yield _jnp.asarray(order[s0:s0 + args.batch])
+        else:
+            def batches():
+                chain = Chain(train_sets, shuffle=True, seed=1)
+                pooled = SamplingPool(chain, args.pool, seed=1)
+                yield from batched(pooled, args.batch)
+
+        it = iter(batches()) if store is not None else device_prefetch(batches())
         data_wait = step_time = 0.0
         steps = 0
         t_epoch = time.perf_counter()
@@ -116,7 +144,13 @@ def main():
             except StopIteration:
                 break
             t1 = time.perf_counter()
-            state, metrics = train_step(model, state, batch, dropout_rng)
+            if store is not None:
+                state, metrics = train_step_device_data(
+                    model, state, store, batch, dropout_rng,
+                    keypoint_config=target_config,
+                )
+            else:
+                state, metrics = train_step(model, state, batch, dropout_rng)
             jax.block_until_ready(metrics["loss"])
             t2 = time.perf_counter()
             data_wait += t1 - t0

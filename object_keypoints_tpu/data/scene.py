@@ -167,6 +167,35 @@ class SceneDataset:
         finally:
             capture.release()
 
+    def iter_prefix(self) -> Iterator[tuple]:
+        """Iterate the deterministic per-frame prefix only: (frame_u8
+        post-resize/crop, projected keypoints in image space, points_C,
+        T_WC). This is what the device-resident training store consumes
+        (training/device_data.py): the stochastic augment/target suffix
+        then runs INSIDE the jitted train step, so the host ships each
+        sequence to the device exactly once."""
+        if self._cache is not None and len(self._cache) == len(self):
+            yield from self._cache
+            return
+        video_file = os.path.join(self.base_dir, "frames.mp4")
+        capture = cv2.VideoCapture(video_file)
+        if self._cache is not None:
+            self._cache.clear()
+        try:
+            i = 0
+            while i < len(self):
+                ok, frame = capture.read()
+                if not ok:
+                    break
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                entry = self._prepare_frame(self.poses[i], frame)
+                if self._cache is not None:
+                    self._cache.append(entry)
+                yield entry
+                i += 1
+        finally:
+            capture.release()
+
     def _prepare_frame(self, T_WC, frame):
         """The deterministic, cacheable per-frame prefix: pose inverse,
         world->image projection, resize+crop (video.py:185-196)."""

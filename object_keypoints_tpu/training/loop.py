@@ -70,6 +70,15 @@ class TrainConfig:
     # optimizer/schedule (Lightning re-creates the optimizer on fit);
     # set False to continue the optimizer state exactly.
     resume_fresh_optimizer: bool = True
+    # Device-resident training data (training/device_data.py): stage the
+    # decoded dataset in HBM once and run augment+target-render inside the
+    # jitted step — each step ships only a (B,) index vector. Measured 9.2
+    # -> see README for the e2e table. None = auto: on for a single-device
+    # mesh when the frames fit the budget below; OKT_DEVICE_DATA=0/1
+    # overrides. The host pipeline stays the exact-parity reference path
+    # (and the only option for multi-device/multi-host training).
+    device_data: Optional[bool] = None
+    device_data_budget_bytes: int = 8 << 30
     # model-size overrides (full CornerNet-Squeeze geometry by default)
     model_overrides: Optional[dict] = None
 
@@ -191,6 +200,39 @@ def train(config: TrainConfig) -> dict:
               if is_main else None)
     step = int(state.step)
 
+    # --- device-resident data path (single-device mesh only) ---
+    use_device_data = config.device_data
+    n_mesh_devices = len(list(np.asarray(mesh.devices).flat))
+    frame_bytes = int(np.prod(sample["frame"].shape))
+    total_frames = sum(len(s) for s in train_sets)
+    if use_device_data is None:
+        env = os.environ.get("OKT_DEVICE_DATA")
+        if env in ("0", "1"):
+            use_device_data = env == "1"
+        else:
+            use_device_data = (
+                n_proc == 1 and n_mesh_devices == 1
+                and total_frames * frame_bytes <= config.device_data_budget_bytes
+            )
+    store = None
+    if use_device_data:
+        if n_proc > 1 or n_mesh_devices > 1:
+            raise ValueError(
+                "device_data=True needs a single-device mesh; the host "
+                "pipeline is the multi-device/multi-host path"
+            )
+        from object_keypoints_tpu.training.device_data import (
+            build_device_store, train_step_device_data,
+        )
+
+        store = build_device_store(train_sets)
+        jax.block_until_ready(store.frames)
+        target_config = tuple(train_sets[0].keypoint_config)
+        perm_rng = np.random.default_rng(data_seed)
+        if is_main:
+            print(f"device store: {total_frames} frames, "
+                  f"{total_frames * frame_bytes / 1e6:.0f} MB staged in HBM")
+
     def _train_batches():
         chain = Chain(train_sets, shuffle=True, seed=data_seed)
         pooled = SamplingPool(chain, config.pool, seed=data_seed)
@@ -212,13 +254,35 @@ def train(config: TrainConfig) -> dict:
                 b = {k: np.asarray(v)[idx] for k, v in b.items()}
             yield b
 
+    def _device_data_batches():
+        """Index batches over the device store: a full per-epoch shuffle
+        (the pooled-shuffle approximation exists only to bound host RAM,
+        which the store makes moot)."""
+        order = perm_rng.permutation(store.n_frames)
+        for start in range(0, store.n_frames - config.batch_size + 1,
+                           config.batch_size):
+            yield jnp.asarray(order[start:start + config.batch_size])
+
     for epoch in range(config.epochs):
         epoch_steps = 0
-        for batch in device_prefetch(_train_batches(), sharding=sharding):
-            state, metrics = train_step(
-                model, state, batch, dropout_rng,
-                depth_weight=config.depth_weight, center_weight=config.center_weight,
-            )
+        if store is not None:
+            batches = _device_data_batches()
+        else:
+            batches = device_prefetch(_train_batches(), sharding=sharding)
+        for batch in batches:
+            if store is not None:
+                state, metrics = train_step_device_data(
+                    model, state, store, batch, dropout_rng,
+                    keypoint_config=target_config,
+                    depth_weight=config.depth_weight,
+                    center_weight=config.center_weight,
+                )
+            else:
+                state, metrics = train_step(
+                    model, state, batch, dropout_rng,
+                    depth_weight=config.depth_weight,
+                    center_weight=config.center_weight,
+                )
             # sync on the loss scalar every step: queueing donated steps
             # back-to-back stalls the axon runtime (~400x; see
             # benchmarks/run_all.py bench_overfit note)

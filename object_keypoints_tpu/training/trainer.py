@@ -127,11 +127,12 @@ def loss_and_metrics(model, params, batch_stats, batch, train: bool,
     return total, (new_batch_stats, metrics, outs)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "depth_weight", "center_weight"),
-                   donate_argnames=("state",))
-def train_step(model, state: TrainState, batch, dropout_rng,
-               depth_weight: float = 10.0, center_weight: float = 1.0):
-    """One optimization step; jit/pjit-able (shardings come from the inputs)."""
+def _train_step_core(model, state: TrainState, batch, dropout_rng,
+                     depth_weight: float = 10.0, center_weight: float = 1.0):
+    """The un-jitted step body: forward/backward + optimizer update.
+    Shared by :func:`train_step` (host-pipeline batches) and
+    device_data.train_step_device_data (device-resident store, which
+    builds ``batch`` inside its own jit)."""
     rng = jax.random.fold_in(dropout_rng, state.step)
 
     def loss_fn(params):
@@ -155,6 +156,13 @@ def train_step(model, state: TrainState, batch, dropout_rng,
     )
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
+
+
+# One optimization step; jit/pjit-able (shardings come from the inputs).
+train_step = functools.partial(
+    jax.jit, static_argnames=("model", "depth_weight", "center_weight"),
+    donate_argnames=("state",),
+)(_train_step_core)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "depth_weight", "center_weight"))

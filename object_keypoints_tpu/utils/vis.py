@@ -44,6 +44,49 @@ def draw_bboxes(image, bboxes, font_size: float = 0.5, thresh: float = 0.5,
     return image
 
 
+class LiveViewer:
+    """Interactive playback window — the reference's hud overlay windows
+    (scripts/eval_model.py:89-127 hud.Display, scripts/show_keypoints.py)
+    for hosts WITH a display; degrades to a no-op with one notice when
+    headless (this build environment), where the frame-dump flags
+    (--write / --out) remain the durable path.
+
+    Usage: viewer = LiveViewer("Keypoints"); viewer.show(rgb) per frame
+    (returns False when the user closed the window / pressed q).
+    """
+
+    def __init__(self, title: str = "object_keypoints", wait_ms: int = 1):
+        import os
+
+        self.title = title
+        self.wait_ms = wait_ms
+        self._ok = cv2 is not None and bool(os.environ.get("DISPLAY"))
+        self._warned = False
+
+    def show(self, rgb_u8) -> bool:
+        if not self._ok:
+            if not self._warned:
+                self._warned = True
+                print(f"[{self.title}] no display — live view disabled "
+                      "(use the frame-dump flag for overlays)")
+            return True
+        try:
+            cv2.imshow(self.title, np.asarray(rgb_u8)[..., ::-1])  # RGB->BGR
+            key = cv2.waitKey(self.wait_ms) & 0xFF
+        except cv2.error:
+            self._ok = False
+            print(f"[{self.title}] cv2 window failed — live view disabled")
+            return True
+        return key not in (ord("q"), 27)
+
+    def close(self):
+        if self._ok:
+            try:
+                cv2.destroyWindow(self.title)
+            except cv2.error:
+                pass
+
+
 def heatmap_overlay(rgb_u8, heatmaps, alpha: float = 0.7):
     """Composite summed heatmaps over an RGB frame (eval_model.py:258-262).
     heatmaps: (H, W, K) or (K, H, W) in [0, 1]."""

@@ -37,7 +37,35 @@ def read_args():
     parser.add_argument("--fast", action="store_true",
                         help="Batched single-program decode (TPU fast path).")
     parser.add_argument("--batch", type=int, default=8, help="--fast batch size.")
+    parser.add_argument("--live", action="store_true",
+                        help="Show the overlay in an interactive window (the "
+                        "reference's hud view; needs a display — headless "
+                        "hosts fall back to --write frame dumps).")
     return parser.parse_args()
+
+
+def _live_overlay(example, objects, sequence, world):
+    """cv2 overlay for the --live window (same content as _write_overlay
+    without the matplotlib round-trip)."""
+    import cv2
+
+    from object_keypoints_tpu.data.scene import SceneDataset
+    from object_keypoints_tpu.utils.vis import heatmap_overlay
+
+    rgb = SceneDataset.to_image(example["frame"])
+    image = np.ascontiguousarray(heatmap_overlay(rgb, example["heatmaps"]))
+    for obj in objects:
+        if world:
+            pts = [p for p in obj["p_C"] if p is not None]
+            pts = sequence.camera.project(np.concatenate(pts, axis=0)) + 0.5 \
+                if pts else []
+        else:
+            pts = [p + 1.0 for p in obj["keypoints"] if getattr(p, "size", 0)]
+            pts = sequence.to_image_points(np.concatenate(pts, axis=0)) \
+                if pts else []
+        for x, y in np.atleast_2d(np.asarray(pts)).reshape(-1, 2):
+            cv2.circle(image, (int(round(x)), int(round(y))), 4, (255, 0, 0), -1)
+    return image
 
 
 def _write_overlay(out_dir, frame_number, example, objects, sequence, world):
@@ -90,6 +118,12 @@ def main():
     sequences = sorted(os.path.join(flags.data, s) for s in os.listdir(flags.data))
     random.shuffle(sequences)
 
+    viewer = None
+    if flags.live:
+        from object_keypoints_tpu.utils.vis import LiveViewer
+
+        viewer = LiveViewer("eval_model")
+
     results = Results()
     frame_number = 0
     for seq_path in sequences:
@@ -136,7 +170,14 @@ def main():
             if flags.write:
                 _write_overlay(flags.write, frame_number, example, objects,
                                sequence, flags.world)
+            if viewer is not None:
+                if not viewer.show(_live_overlay(example, objects, sequence,
+                                                 flags.world)):
+                    viewer.close()
+                    viewer = None  # user quit the window; keep evaluating
             frame_number += 1
+    if viewer is not None:
+        viewer.close()
     results.print_results()
 
 

@@ -23,6 +23,9 @@ def read_args():
     parser.add_argument("--out", type=str, default="keypoints_vis",
                         help="Where to write overlay frames.")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--live", action="store_true",
+                        help="Play the overlays in an interactive window "
+                        "(the reference's hud playback; needs a display).")
     return parser.parse_args()
 
 
@@ -39,6 +42,11 @@ def main():
         os.path.join(flags.base_dir, d) for d in os.listdir(flags.base_dir)
     )
     os.makedirs(flags.out, exist_ok=True)
+    viewer = None
+    if flags.live:
+        from object_keypoints_tpu.utils.vis import LiveViewer
+
+        viewer = LiveViewer("show_keypoints", wait_ms=30)
     for seq in sequences:
         with open(os.path.join(seq, KEYPOINT_FILENAME), "rt") as f:
             world_points = np.array(json.load(f)["3d_points"])[:, :3]
@@ -59,9 +67,14 @@ def main():
                 if 0 <= x < frame.shape[1] and 0 <= y < frame.shape[0]:
                     cv2.circle(frame, (int(round(x)), int(round(y))), 5, (0, 0, 255), -1)
             cv2.imwrite(os.path.join(flags.out, f"{name}_{i:06}.jpg"), frame)
+            if viewer is not None and not viewer.show(frame[..., ::-1]):
+                viewer.close()
+                viewer = None
             i += 1
         capture.release()
         print(f"{seq}: wrote {i} overlay frames to {flags.out}")
+    if viewer is not None:
+        viewer.close()
 
 
 if __name__ == "__main__":

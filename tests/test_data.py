@@ -122,6 +122,80 @@ class TestAugment:
             assert out.shape == img.shape and out.dtype == np.uint8
 
 
+class TestAugmentDevice:
+    """The device-side stochastic suffix (data/augment_device.py) against
+    the host pipeline's math."""
+
+    def test_bcg_matches_host_luts(self):
+        """Fixed (alpha, beta, gamma): the device transform must equal the
+        host's composed uint8 LUTs within one quantization step on every
+        input value."""
+        import jax.numpy as jnp
+
+        from object_keypoints_tpu.data.augment_device import apply_bcg
+
+        ramp = np.arange(256, dtype=np.uint8).reshape(16, 16, 1)
+        for alpha, beta, gamma in ((1.13, -0.07, 0.85), (0.86, 0.19, 1.17),
+                                   (1.0, 0.0, 1.0)):
+            # host: bc LUT then gamma LUT (augment.py LUT builders)
+            bc = np.clip(np.arange(256, dtype=np.float32) * alpha
+                         + beta * 255.0, 0, 255).astype(np.uint8)
+            g = (np.linspace(0, 1, 256) ** gamma * 255.0).astype(np.uint8)
+            host = g[bc][ramp]
+            dev = np.asarray(apply_bcg(jnp.asarray(ramp, jnp.float32),
+                                       alpha, beta, gamma))
+            assert np.abs(dev - host.astype(np.float32)).max() <= 1.0
+
+    def test_flip_device_matches_host(self):
+        import jax.numpy as jnp
+
+        from object_keypoints_tpu.data.augment_device import flip_device
+
+        img = np.arange(40 * 30 * 3, dtype=np.float32).reshape(40, 30, 3)
+        kps = np.array([[10.0, 20.0], [3.0, 7.0]], np.float32)
+        h_img, h_kps = augment.hflip(img, kps)
+        d_img, d_kps = flip_device(jnp.asarray(img), jnp.asarray(kps),
+                                   True, False)
+        np.testing.assert_array_equal(np.asarray(d_img), h_img)
+        np.testing.assert_allclose(np.asarray(d_kps), h_kps)
+        v_img, v_kps = augment.vflip(img, kps)
+        d_img, d_kps = flip_device(jnp.asarray(img), jnp.asarray(kps),
+                                   False, True)
+        np.testing.assert_array_equal(np.asarray(d_img), v_img)
+        np.testing.assert_allclose(np.asarray(d_kps), v_kps)
+
+    def test_cutout_geometry(self):
+        """Holes are 25x25 windows clipped at borders, filled with 0."""
+        import jax
+        import jax.numpy as jnp
+
+        from object_keypoints_tpu.data.augment_device import cutout
+
+        frame = jnp.full((64, 64, 3), 200.0)
+        out = np.asarray(cutout(frame, jax.random.key(0)))
+        holes = out[..., 0] == 0
+        assert holes.any() and not holes.all()
+        # every zeroed pixel keeps all channels zero (fill, not noise)
+        np.testing.assert_array_equal(out[holes], 0.0)
+
+    def test_photometric_device_runs_and_keeps_range(self):
+        import jax
+        import jax.numpy as jnp
+
+        from object_keypoints_tpu.data.augment_device import photometric_device
+
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        kps = rng.uniform(0, 31, size=(8, 2)).astype(np.float32)
+        for s in range(4):
+            out, kout = photometric_device(jnp.asarray(frame),
+                                           jnp.asarray(kps),
+                                           jax.random.key(s))
+            out = np.asarray(out)
+            assert out.min() >= 0.0 and out.max() <= 255.0
+            assert np.asarray(kout).shape == kps.shape
+
+
 class TestCombinators:
     def test_round_robin_cycles(self):
         rr = RoundRobin([[1, 2], [10]])

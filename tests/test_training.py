@@ -92,6 +92,95 @@ class TestOverfit:
         assert float(state.lr_scale) < 1.0
 
 
+class TestDeviceData:
+    """Device-resident data path (training/device_data.py): the store +
+    in-step target rendering must reproduce the host pipeline's step."""
+
+    def test_step_matches_host_pipeline(self, tmp_path, calibration_file):
+        """Same frames, augment off: one train step through the device
+        store must produce the host-pipeline step's loss (same init, same
+        dropout stream). Exercises store build (iter_prefix), in-jit
+        normalize + target render, and the shared train core."""
+        pytest.importorskip("cv2")
+        from object_keypoints_tpu.data.combinators import batched
+        from object_keypoints_tpu.data.scene import SceneDataset
+        from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
+        from object_keypoints_tpu.training.device_data import (
+            build_device_store, train_step_device_data,
+        )
+
+        seq = tmp_path / "seq_00"
+        write_synthetic_sequence(str(seq), calibration_file,
+                                 keypoint_config=[1, 3], n_objects=1,
+                                 n_frames=2, seed=11)
+        config = {"keypoint_config": [1, 3]}
+        ds_host = SceneDataset(str(seq), config, augment=False,
+                               normalize=False)
+        ds_store = SceneDataset(str(seq), config, augment=False,
+                                normalize=False)
+
+        model = KeypointNet(heatmaps_out=3, stacks=1, dropout=0.0, **TINY)
+        batch = next(batched(ds_host, 2))
+        variables = model.init({"params": jax.random.key(1)},
+                               jnp.zeros((1, *batch["frame"].shape[1:]),
+                                         model.dtype), train=False)
+        tx = make_optimizer(lr=1e-3, plateau_patience=1000)
+        rng = jax.random.key(2)
+
+        # donation in train_step deletes the state's buffers — give each
+        # path its own copy of the (identical) init
+        variables_d = jax.tree.map(jnp.copy, variables)
+        state_h = create_train_state(model, variables, tx)
+        _, metrics_h = train_step(model, state_h, batch, rng)
+
+        store = build_device_store([ds_store])
+        assert store.n_frames == 2 and bool(store.valid.all())
+        state_d = create_train_state(model, variables_d, tx)
+        _, metrics_d = train_step_device_data(
+            model, state_d, store, jnp.asarray([0, 1]), rng,
+            keypoint_config=(1, 1, 3), augment=False,
+        )
+        host_loss, dev_loss = float(metrics_h["loss"]), float(metrics_d["loss"])
+        assert host_loss == pytest.approx(dev_loss, rel=1e-4), \
+            (host_loss, dev_loss)
+
+    def test_augmented_step_trains(self, tmp_path, calibration_file):
+        """With augmentation on, repeated steps on the store must reduce
+        the loss (the production flagship path)."""
+        pytest.importorskip("cv2")
+        from object_keypoints_tpu.data.scene import SceneDataset
+        from object_keypoints_tpu.data.synthetic import write_synthetic_sequence
+        from object_keypoints_tpu.training.device_data import (
+            build_device_store, train_step_device_data,
+        )
+
+        seq = tmp_path / "seq_00"
+        write_synthetic_sequence(str(seq), calibration_file,
+                                 keypoint_config=[1, 3], n_objects=1,
+                                 n_frames=2, seed=12)
+        ds = SceneDataset(str(seq), {"keypoint_config": [1, 3]},
+                          augment=True, normalize=False)
+        store = build_device_store([ds])
+        model = KeypointNet(heatmaps_out=3, stacks=1, dropout=0.0, **TINY)
+        variables = model.init({"params": jax.random.key(1)},
+                               jnp.zeros((1, *np.asarray(store.frames).shape[1:3], 3),
+                                         model.dtype), train=False)
+        state = create_train_state(model, variables,
+                                   make_optimizer(lr=1e-3,
+                                                  plateau_patience=1000))
+        rng = jax.random.key(3)
+        idx = jnp.asarray([0, 1])
+        first = None
+        for i in range(30):
+            state, metrics = train_step_device_data(
+                model, state, store, idx, rng, keypoint_config=(1, 1, 3),
+            )
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(last) and last < first, (first, last)
+
+
 class TestUint8FrameIngest:
     def test_device_normalizer_matches_host(self):
         """uint8 frames through the jitted steps must score identically to

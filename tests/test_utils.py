@@ -143,6 +143,21 @@ def _decode_tfrecords(path):
     return events
 
 
+class TestLiveViewer:
+    def test_headless_is_inert(self, monkeypatch, capsys):
+        """No DISPLAY -> one notice, always 'keep playing', close is safe."""
+        from object_keypoints_tpu.utils.vis import LiveViewer
+
+        monkeypatch.delenv("DISPLAY", raising=False)
+        v = LiveViewer("test")
+        frame = np.zeros((4, 4, 3), np.uint8)
+        assert v.show(frame) is True
+        assert v.show(frame) is True
+        v.close()
+        out = capsys.readouterr().out
+        assert out.count("no display") == 1
+
+
 class TestTensorBoardEvents:
     def test_event_file_decodes(self, tmp_path):
         """metrics -> event file -> independent decoder round trip."""
