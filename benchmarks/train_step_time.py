@@ -18,6 +18,11 @@ fp32 MXU peak worth quoting).
 
 Usage: python benchmarks/train_step_time.py
 Env:   OKT_TRAIN_BATCHES=4,8,16  OKT_TRAIN_DTYPES=fp32,bf16  OKT_TRAIN_ITERS
+       OKT_TRAIN_MODE=step|fwd|grad — diagnostic segmentation of the step:
+       `fwd` times loss_and_metrics only (inference-style forward + loss),
+       `grad` times value_and_grad WITHOUT the optimizer update. Comparing
+       the three localizes dtype anomalies (e.g. the bf16@4 regression) to
+       forward, backward, or the fp32 optimizer/cast tail.
 """
 
 import json
@@ -34,17 +39,21 @@ BATCHES = [int(b) for b in
            os.environ.get("OKT_TRAIN_BATCHES", "4,8,16,32,64").split(",")]
 DTYPES = os.environ.get("OKT_TRAIN_DTYPES", "fp32,bf16").split(",")
 ITERS = int(os.environ.get("OKT_TRAIN_ITERS", "30"))
+MODE = os.environ.get("OKT_TRAIN_MODE", "step")
 WARMUP = 3
 PEAK_BF16 = 126e12  # chip peak measured round 2 (CLAUDE.md)
 
 
 def bench_one(dtype_name: str, batch_size: int) -> dict:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from object_keypoints_tpu.models import KeypointNet
     from object_keypoints_tpu.training.trainer import (
         create_train_state,
+        loss_and_metrics,
         make_optimizer,
         train_step,
     )
@@ -75,7 +84,31 @@ def bench_one(dtype_name: str, batch_size: int) -> dict:
     # read cost_analysis() (AOT lowering does not populate the jit cache).
     # The compiled step keeps trainer.py's state donation, so no extra copy
     # of the train state stays alive during the timed loop.
-    compiled = train_step.lower(model, state, batch, key).compile()
+    if MODE == "fwd":
+        @functools.partial(jax.jit, static_argnames=("model",))
+        def fwd_step(model, state, batch, key):
+            loss, (_, metrics, _) = loss_and_metrics(
+                model, state.params, state.batch_stats, batch, True, key)
+            return state, metrics
+
+        compiled = fwd_step.lower(model, state, batch, key).compile()
+    elif MODE == "grad":
+        @functools.partial(jax.jit, static_argnames=("model",))
+        def grad_step(model, state, batch, key):
+            def loss_fn(params):
+                return loss_and_metrics(
+                    model, params, state.batch_stats, batch, True, key)
+
+            (loss, (_, metrics, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            # consume the grads into one scalar so XLA can't DCE the backward
+            metrics["grad_norm"] = sum(
+                jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+            return state, metrics
+
+        compiled = grad_step.lower(model, state, batch, key).compile()
+    else:
+        compiled = train_step.lower(model, state, batch, key).compile()
     flops = float("nan")
     try:
         cost = compiled.cost_analysis()
@@ -95,7 +128,8 @@ def bench_one(dtype_name: str, batch_size: int) -> dict:
     dt = (time.perf_counter() - t0) / ITERS
 
     row = {
-        "metric": "train_step_ms", "dtype": dtype_name, "batch": batch_size,
+        "metric": "train_step_ms" if MODE == "step" else f"train_{MODE}_ms",
+        "dtype": dtype_name, "batch": batch_size,
         "ms": round(dt * 1000, 2),
         "steps_per_s": round(1 / dt, 2),
         "frames_per_s": round(batch_size / dt, 1),

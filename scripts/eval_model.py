@@ -41,6 +41,9 @@ def read_args():
                         help="Show the overlay in an interactive window (the "
                         "reference's hud view; needs a display — headless "
                         "hosts fall back to --write frame dumps).")
+    parser.add_argument("--json", type=str, default=None,
+                        help="Also write the summary dict (the rich table's "
+                        "numbers, machine-readable) to this path.")
     return parser.parse_args()
 
 
@@ -178,7 +181,15 @@ def main():
             frame_number += 1
     if viewer is not None:
         viewer.close()
-    results.print_results()
+    summary = results.print_results()
+    if flags.json:
+        os.makedirs(os.path.dirname(flags.json) or ".", exist_ok=True)
+        with open(flags.json, "wt") as f:
+            json.dump({"summary": summary, "data": flags.data,
+                       "model": flags.model,
+                       "ground_truth": flags.ground_truth,
+                       "fast": flags.fast}, f, indent=2)
+        print(f"summary written to {flags.json}")
 
 
 if __name__ == "__main__":
