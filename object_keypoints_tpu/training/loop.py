@@ -238,7 +238,22 @@ def train(config: TrainConfig) -> dict:
         pooled = SamplingPool(chain, config.pool, seed=data_seed)
         yield from batched(pooled, config.batch_size)
 
+    # The val split is deterministic (no augmentation), so the rendered
+    # batches are identical every epoch — but streaming them re-pays host
+    # target rendering per epoch (~67 ms/frame on this 1-core host, which
+    # at 100 val frames x 120 epochs is ~13 min of pure recompute).
+    # Materialize them once and replay; bounded to a 512 MB budget (val
+    # frames are uint8 here), OKT_CACHE_VAL=0 opts out.
+    _val_cache = []
+    _val_cacheable = (
+        os.environ.get("OKT_CACHE_VAL", "1") == "1"
+        and sum(len(s) for s in val_sets) * frame_bytes <= 512 * 1024 ** 2
+    )
+
     def _val_batches():
+        if _val_cache:
+            yield from _val_cache
+            return
         chain = Chain(val_sets)
         # pose extras are host-side metadata; the eval_step batch needs the
         # tensor fields only. The tail batch is padded (cyclically) up to the
@@ -252,6 +267,8 @@ def train(config: TrainConfig) -> dict:
             if n < vb:
                 idx = np.resize(np.arange(n), vb)
                 b = {k: np.asarray(v)[idx] for k, v in b.items()}
+            if _val_cacheable:
+                _val_cache.append(b)
             yield b
 
     def _device_data_batches():

@@ -181,6 +181,44 @@ class TestDeviceData:
         assert np.isfinite(last) and last < first, (first, last)
 
 
+class TestValBatchCache:
+    def test_val_pipeline_rendered_once(self, tmp_path, calibration_file,
+                                        monkeypatch):
+        """The val split is deterministic, so training/loop.py materializes
+        its rendered batches on the first epoch and replays them — the host
+        must not re-decode/re-render val every epoch (~67 ms/frame on this
+        1-core host). The non-shuffled Chain is constructed exactly once
+        per run by _val_batches; train-path Chains pass shuffle=True."""
+        pytest.importorskip("cv2")
+        from object_keypoints_tpu.data.combinators import Chain
+        from object_keypoints_tpu.data.synthetic import make_synthetic_dataset_tree
+        from object_keypoints_tpu.training import loop as loop_mod
+
+        train_dir, val_dir = make_synthetic_dataset_tree(
+            str(tmp_path / "data"), calibration_file, [1, 3],
+            n_train=1, n_val=1, n_frames=2,
+        )
+        counts = {"val_chains": 0}
+
+        class CountingChain(Chain):
+            def __init__(self, datasets, shuffle=False, **kwargs):
+                if not shuffle:
+                    counts["val_chains"] += 1
+                super().__init__(datasets, shuffle=shuffle, **kwargs)
+
+        monkeypatch.setattr(loop_mod, "Chain", CountingChain)
+        result = loop_mod.train(loop_mod.TrainConfig(
+            train=train_dir, val=val_dir, keypoint_config=[1, 3],
+            batch_size=2, lr=1e-3, features=8, dropout=0.0, pool=4,
+            epochs=3, out_dir=str(tmp_path / "run"), log_every=100,
+            ckpt_every=100, model_overrides=dict(
+                levels=2, dims=(16, 16, 32), mods=(1, 1, 1),
+                stem_features=(8, 16), cnv_dim=16),
+        ))
+        assert np.isfinite(result["best_val_loss"])
+        assert counts["val_chains"] == 1, counts
+
+
 class TestUint8FrameIngest:
     def test_device_normalizer_matches_host(self):
         """uint8 frames through the jitted steps must score identically to
