@@ -268,6 +268,12 @@ def train(config: TrainConfig) -> dict:
                 idx = np.resize(np.arange(n), vb)
                 b = {k: np.asarray(v)[idx] for k, v in b.items()}
             if _val_cacheable:
+                if store is not None:
+                    # device-data mode (single-device): keep the cached val
+                    # batches in HBM too — skips the per-epoch host->device
+                    # upload (~80 MB over the tunnel at 100 val frames).
+                    # eval_step does not donate, so the arrays are reusable.
+                    b = jax.tree.map(jnp.asarray, b)
                 _val_cache.append(b)
             yield b
 
