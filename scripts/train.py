@@ -32,6 +32,10 @@ def read_args():
                         help="Intermediate features in network.")
     parser.add_argument("--center-weight", default=1.0, type=float,
                         help="Weight for center loss vs. heatmap loss.")
+    parser.add_argument("--depth-weight", default=10.0, type=float,
+                        help="Weight for depth loss vs. heatmap loss (the "
+                        "reference hard-codes 10.0, loss.py:6; exposed here "
+                        "because the measured 3D error is depth-dominated).")
     parser.add_argument("--lr", default=4e-3, type=float, help="Learning rate.")
     parser.add_argument("--dropout", default=0.1, type=float)
     parser.add_argument("--resume", default=None)
@@ -75,6 +79,7 @@ def main():
         weight_decay=flags.weight_decay,
         features=flags.features,
         center_weight=flags.center_weight,
+        depth_weight=flags.depth_weight,
         dropout=flags.dropout,
         pool=flags.pool,
         epochs=flags.epochs,
