@@ -316,6 +316,7 @@ def bench_saccade(iters):
     from object_keypoints_tpu.inference.saccade import (
         cornernet_saccade_inference,
         make_saccade_decode_fn,
+        make_saccade_decode_fn_fused,
     )
     from object_keypoints_tpu.models.cornernet import cornernet_saccade
     from object_keypoints_tpu.utils.config import DetectionConfig, load_cfg
@@ -331,7 +332,12 @@ def bench_saccade(iters):
         (1, config["input_size"][0], config["input_size"][1], 3), jnp.bfloat16
     )
     variables = model.init({"params": jax.random.key(0)}, dummy)
-    decode_fn = make_saccade_decode_fn(model, variables, config)
+    # default: the fused crop+decode program (one upload per image, one
+    # dispatch per stage); OKT_SACCADE_FUSED=0 measures the split pipeline
+    build = (make_saccade_decode_fn
+             if os.environ.get("OKT_SACCADE_FUSED") == "0"
+             else make_saccade_decode_fn_fused)
+    decode_fn = build(model, variables, config)
 
     # synthetic scene: textured background + high-contrast boxes so the
     # attention stage has real structure to fire on
@@ -372,6 +378,7 @@ def bench_saccade_trained(iters, snapshot="results/saccade_tiny/CornerNet_Saccad
     from object_keypoints_tpu.inference.saccade import (
         cornernet_saccade_inference,
         make_saccade_decode_fn,
+        make_saccade_decode_fn_fused,
     )
     from object_keypoints_tpu.models.cornernet import tiny_cornernet
     from object_keypoints_tpu.utils.config import (
@@ -392,7 +399,10 @@ def bench_saccade_trained(iters, snapshot="results/saccade_tiny/CornerNet_Saccad
     restored = ocp.PyTreeCheckpointer().restore(snap)
     variables = {"params": restored["params"],
                  "batch_stats": restored["batch_stats"]}
-    decode_fn = make_saccade_decode_fn(model, variables, config)
+    build = (make_saccade_decode_fn
+             if os.environ.get("OKT_SACCADE_FUSED") == "0"
+             else make_saccade_decode_fn_fused)
+    decode_fn = build(model, variables, config)
 
     # scene from the training distribution (synthetic.make_synthetic_coco_
     # dataset): dark noisy background, warm/cool filled rectangles — at

@@ -59,15 +59,11 @@ def crop_zoom(image, center, size, out_size):
 
 
 @functools.lru_cache(maxsize=16)
-def _crop_zoom_program(im_h: int, im_w: int, oh: int, ow: int):
-    """One compiled crop-zoom program per (image shape, out size).
-
-    Module-level cache so repeated `_prepare_images` calls reuse the same
-    jitted program instead of retracing a fresh closure every invocation
-    (round-2 advisor finding); the M (crop-count) axis is padded to a fixed
-    capacity by the caller, so the shapes — and therefore the compile — are
-    stable across the whole saccade loop.
-    """
+def _crop_all_fn(im_h: int, im_w: int, oh: int, ow: int):
+    """The (unjitted) batched crop-zoom: jax function of
+    (img (H,W,3) f32, centers (M,2) f32, sizes (M,2) f32) ->
+    (canvases (M,oh,ow,3), offsets (M,2)). Shared by the standalone crop
+    program and the fused crop+decode program."""
     import jax
 
     def crop_all(img, centers, sizes):
@@ -132,7 +128,20 @@ def _crop_zoom_program(im_h: int, im_w: int, oh: int, ow: int):
 
         return jax.vmap(one)(centers, sizes)
 
-    return jax.jit(crop_all)
+    return crop_all
+
+
+@functools.lru_cache(maxsize=16)
+def _crop_zoom_program(im_h: int, im_w: int, oh: int, ow: int):
+    """One compiled crop-zoom program per (image shape, out size) —
+    module-level cache so repeated `_prepare_images` calls reuse the same
+    jitted program instead of retracing a fresh closure every invocation
+    (round-2 advisor finding); the M (crop-count) axis is padded to a fixed
+    capacity by the caller, so the shapes — and therefore the compile — are
+    stable across the whole saccade loop."""
+    import jax
+
+    return jax.jit(_crop_all_fn(im_h, im_w, oh, ow))
 
 
 def _device_crop_zoom_batch(image, centers_yx, crop_sizes_hw, out_size):
@@ -329,6 +338,61 @@ def make_saccade_decode_fn(model, variables, config):
     return fn
 
 
+def make_saccade_decode_fn_fused(model, variables, config):
+    """Crop+forward+decode as ONE jitted program (TPU-first tightening of
+    :func:`make_saccade_decode_fn`): the full image is uploaded to HBM once
+    per image; each saccade iteration ships only the (M, 3) location batch
+    up and the decoded detections/attention peaks back.
+
+    Measured motivation: the split pipeline round-trips every crop batch
+    device->host->device (~3 MB each way per iteration over the tunneled
+    chip) and retraces the model per distinct crop count. Here the M axis
+    is padded by the DRIVER to a power-of-two bucket (static shape per
+    bucket, pad rows decoded and discarded — batch rows are independent in
+    test mode: no dropout, frozen BN), normalization runs in-program from
+    the raw uint8 frame, and the crop resample is the same
+    :func:`_crop_all_fn` geometry as the standalone program.
+
+    Returns ``fn(image, centers, sizes, no_att) -> (dets, atts, offsets)``
+    with ``crop_fused = att_nms_fused = True``;
+    :func:`cornernet_saccade_inference` switches its loop accordingly.
+    Reference: cornernet_saccade.py:15-39 (GPU crops), :223-263 (loop).
+    """
+    import jax
+
+    att_nms_ks = tuple(config["att_nms_ks"])
+    input_size = tuple(config["input_size"])
+    mean = jnp.asarray(COCO_MEAN, jnp.float32)
+    std = jnp.asarray(COCO_STD, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("no_att",))
+    def _decode_crops(variables, image, centers, sizes, no_att):
+        img = (image.astype(jnp.float32) / 255.0 - mean) / std
+        crop_all = _crop_all_fn(img.shape[0], img.shape[1], *input_size)
+        canvases, offsets = crop_all(img, centers, sizes)
+        (dets, *_), atts = model.apply(
+            variables, canvases, False, True,
+            K=config["top_k"], ae_threshold=config["ae_threshold"],
+            kernel=config["nms_kernel"], num_dets=config["num_dets"],
+            no_border=True,
+        )
+        if no_att:
+            return dets, None, offsets
+        atts = [
+            jnp.transpose(
+                maxpool_nms(jnp.transpose(att, (0, 3, 1, 2)), size=k),
+                (0, 2, 3, 1),
+            )
+            for att, k in zip(atts, att_nms_ks)
+        ]
+        return dets, atts, offsets
+
+    fn = functools.partial(_decode_crops, variables)
+    fn.att_nms_fused = True
+    fn.crop_fused = True
+    return fn
+
+
 def cornernet_saccade_inference(config, decode_fn, image,
                                 device_crops: bool = True) -> Dict[int, np.ndarray]:
     """Full two-stage saccade inference (cornernet_saccade.py:300-400).
@@ -352,20 +416,52 @@ def cornernet_saccade_inference(config, decode_fn, image,
     num_iterations = len(att_thresholds)
 
     height, width = image.shape[:2]
-    norm = ((image.astype(np.float32) / 255.0) - COCO_MEAN) / COCO_STD
+    att_fused = getattr(decode_fn, "att_nms_fused", False)
+    crop_fused = getattr(decode_fn, "crop_fused", False)
+    if crop_fused:
+        # one upload of the raw frame per image; every stage afterwards
+        # ships only an (M, 2)+(M, 2) location batch up and detections back
+        img_dev = jnp.asarray(image)
+        input_size = config["input_size"]
+        norm = None
+    else:
+        norm = ((image.astype(np.float32) / 255.0) - COCO_MEAN) / COCO_STD
+
+    def run_stage(locations, no_att):
+        """One decode pass; returns (dets (M*num_dets rows pending reshape),
+        atts list | None, offsets (M, 2)) with pad rows already dropped."""
+        if crop_fused:
+            m = len(locations)
+            cap = 1 << max(0, int(m - 1).bit_length())  # pow2 bucket >= m
+            padded = np.ones((cap, 3), np.float32)
+            padded[:m] = locations[:, :3]
+            sizes = np.stack(
+                [np.floor(input_size[0] / padded[:, 2]),
+                 np.floor(input_size[1] / padded[:, 2])], axis=1
+            ).astype(np.float32)
+            dets, atts, offsets = decode_fn(
+                img_dev, jnp.asarray(padded[:, :2]), jnp.asarray(sizes), no_att
+            )
+            dets = np.array(dets[:m], copy=True)
+            offsets = np.asarray(offsets[:m])
+            if atts is not None:
+                atts = [np.asarray(a[:m]) for a in atts]
+            return dets, atts, offsets
+        images, offsets = _prepare_images(config, norm, locations,
+                                          device_crops=device_crops)
+        dets, atts = decode_fn(jnp.asarray(images), no_att)
+        dets = np.array(dets, copy=True)
+        if atts is not None:
+            atts = ([np.asarray(a) for a in atts] if att_fused
+                    else att_nms(atts, att_nms_ks))
+        return dets, atts, offsets
 
     # stage 1: downsized full views
     locations = np.array(
         [[height // 2, width // 2, s / max(height, width)] for s in init_sizes],
         np.float32,
     )
-    att_fused = getattr(decode_fn, "att_nms_fused", False)
-    images, offsets = _prepare_images(config, norm, locations,
-                                      device_crops=device_crops)
-    dets, atts = decode_fn(jnp.asarray(images), False)
-    dets = np.array(dets, copy=True)
-    atts = ([np.asarray(a) for a in atts] if att_fused
-            else att_nms(atts, att_nms_ks))
+    dets, atts, offsets = run_stage(locations, False)
 
     scales = locations[:, 2]
     next_locations = decode_atts(
@@ -389,10 +485,7 @@ def cornernet_saccade_inference(config, decode_fn, image,
         num_crops += len(locations)
         no_att = ind == num_iterations
 
-        images, offsets = _prepare_images(config, norm, locations,
-                                          device_crops=device_crops)
-        dets, atts = decode_fn(jnp.asarray(images), no_att)
-        dets = np.array(dets, copy=True)
+        dets, atts, offsets = run_stage(locations, no_att)
         _rescale_remap(config, dets, locations[:, 2], offsets)
         dets = dets.reshape(-1, 8)
         dets = dets[dets[:, 4] > -1]
@@ -400,8 +493,6 @@ def cornernet_saccade_inference(config, decode_fn, image,
 
         if num_crops >= att_max_crops or ind >= num_iterations:
             break
-        atts = ([np.asarray(a) for a in atts] if att_fused
-                else att_nms(atts, att_nms_ks))
         next_locations = decode_atts(
             config, atts, att_scales[ind], locations[:, 2], offsets,
             height, width, att_thresholds[ind], ignore_same=True,

@@ -70,9 +70,11 @@ def main():
     assert image is not None, flags.image
 
     if flags.arch == "CornerNet_Saccade":
-        from object_keypoints_tpu.inference.saccade import make_saccade_decode_fn
+        from object_keypoints_tpu.inference.saccade import (
+            make_saccade_decode_fn_fused,
+        )
 
-        decode_fn = make_saccade_decode_fn(model, variables, config)
+        decode_fn = make_saccade_decode_fn_fused(model, variables, config)
         boxes = cornernet_saccade_inference(config, decode_fn, image[..., ::-1])
         named = {str(k): v for k, v in boxes.items()}
     else:

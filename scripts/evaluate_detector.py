@@ -134,10 +134,10 @@ def main():
     if flags.cfg_file == "CornerNet_Saccade":
         from object_keypoints_tpu.inference.saccade import (
             cornernet_saccade_inference,
-            make_saccade_decode_fn,
+            make_saccade_decode_fn_fused,
         )
 
-        decode_fn = make_saccade_decode_fn(model, variables, config)
+        decode_fn = make_saccade_decode_fn_fused(model, variables, config)
         infer = lambda image: cornernet_saccade_inference(config, decode_fn, image)
     else:
         import functools

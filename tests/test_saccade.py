@@ -216,3 +216,50 @@ class TestRealModelDecodeFn:
                  .astype(np.uint8))
         out = cornernet_saccade_inference(config, decode_fn, image)
         assert isinstance(out, dict) and set(out.keys()) <= {1, 2}
+
+
+class TestFusedCropDecode:
+    def test_fused_matches_split_pipeline(self):
+        """make_saccade_decode_fn_fused (normalize+crop+forward+decode as
+        one program, pow2-padded crop batches) must reproduce the split
+        device-crops pipeline's final boxes on a real tiny attention model:
+        pad rows are independent in test mode (no dropout, frozen BN), the
+        crop geometry is the shared _crop_all_fn, and in-program
+        normalization commutes with the bilinear resample."""
+        import jax
+
+        from object_keypoints_tpu.inference.saccade import (
+            make_saccade_decode_fn,
+            make_saccade_decode_fn_fused,
+        )
+        from object_keypoints_tpu.models.cornernet import CornerNetModel
+
+        config = DetectionConfig({
+            "categories": 2, "input_size": [64, 64], "output_sizes": [[16, 16]],
+            "init_sizes": [32], "att_max_crops": 8,
+            "att_thresholds": [0.0, 0.0],  # zoom into every attention peak
+            "att_scales": [[1, 2], [1, 2]], "att_nms_ks": [3, 3],
+            "nms_algorithm": "exp_soft_nms", "max_per_image": 10,
+            "ref_dets": True, "top_k": 4, "num_dets": 8,
+        })
+        model = CornerNetModel(
+            categories=2, stacks=1, levels=2, dims=(8, 8, 16), mods=(1, 1, 1),
+            hourglass="residual", stem_residuals=1, cnv_dim=8,
+            with_attention=True,
+        )
+        variables = model.init({"params": jax.random.key(0)},
+                               jnp.zeros((1, 64, 64, 3), jnp.float32))
+        split_fn = make_saccade_decode_fn(model, variables, config)
+        fused_fn = make_saccade_decode_fn_fused(model, variables, config)
+        assert fused_fn.crop_fused and fused_fn.att_nms_fused
+
+        image = (np.random.default_rng(1).uniform(0, 255, (96, 128, 3))
+                 .astype(np.uint8))
+        out_split = cornernet_saccade_inference(config, split_fn, image)
+        out_fused = cornernet_saccade_inference(config, fused_fn, image)
+        assert set(out_split.keys()) == set(out_fused.keys())
+        for j in out_split:
+            a, b = out_split[j], out_fused[j]
+            assert a.shape == b.shape, (j, a.shape, b.shape)
+            if len(a):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
